@@ -1,0 +1,66 @@
+"""Engine configuration.
+
+Mirrors the reference's canonical knobs (hash_size=12 → 4096 buckets,
+K=10, multi-probe count — ``main.py:268-366`` of the reference) re-expressed
+for the MinHash-LSH dedup pipeline: 128 permutations split into 32 bands x
+4 rows. S-curve: P(collide) = 1 - (1 - j^r)^b → at the verify threshold
+j=0.7 the miss probability is (1-0.7^4)^32 ≈ 1.5e-4, comfortably inside the
+dup-pair recall ≥ 0.99 target; at j=0.5 the false-candidate rate is ~87%
+*among genuinely similar pairs only* — random web pairs (j≈0) almost never
+collide, and the exact-Jaccard verify removes sub-threshold survivors.
+This matches the reference's "near neighbors collide, far points don't"
+objective (``nlsh/trainers/proposed.py:96-118``) with the balance knob
+moved from a learned loss to the (b, r) split.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # shingling
+    shingle_k: int = 5  # tokens per shingle
+
+    # MinHash
+    num_perm: int = 128
+    minhash_seed: int = 42
+
+    # LSH banding: num_bands * rows_per_band must equal num_perm
+    num_bands: int = 32
+    rows_per_band: int = 4
+
+    # verification
+    jaccard_threshold: float = 0.7
+
+    # SimHash secondary verifier
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3
+
+    # skew handling: buckets larger than this emit a sorted chain of
+    # consecutive pairs instead of all O(n^2) pairs (connectivity-preserving)
+    bucket_pair_cap: int = 256
+
+    # connected components
+    max_cc_iterations: int = 50
+
+    # suffix-array long-repeat pass
+    long_repeat_min_tokens: int = 64
+
+    # partitioning
+    candidate_partitions: int | None = None  # None → spark.sql.shuffle.partitions
+
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"num_bands({self.num_bands}) * rows_per_band({self.rows_per_band})"
+                f" != num_perm({self.num_perm})"
+            )
+
+    @property
+    def lsh_s_curve_threshold(self) -> float:
+        """Jaccard at which collision probability = 50% for this banding."""
+        return (1.0 / self.num_bands) ** (1.0 / self.rows_per_band)

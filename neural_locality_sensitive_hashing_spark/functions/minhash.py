@@ -1,0 +1,81 @@
+"""MinHash signatures as a batched, vectorized pandas UDF.
+
+The reference hashes a full corpus in 4096-row batches through its encoder
+(``nlsh/indexer.py:40-54``); the Spark analogue is one Arrow batch at a time
+through a numpy kernel. Signature definition (frozen for determinism):
+
+    sig[j] = min over shingle-hashes h of  (A[j] * h + B[j])  mod 2^64
+
+with A odd (a bijection on Z_2^64, so uniform inputs stay uniform) and
+(A, B) drawn once from ``default_rng(seed)``. The per-batch inner loop is
+``num_perm`` vectorized passes using ``np.minimum.reduceat`` over the
+concatenated shingle arrays — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (A, B) permutation parameters (uint64)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * 2 + 1  # odd
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_numpy(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Reference single-set implementation (tests + driver-side use)."""
+    h = np.asarray(shingle_hashes, dtype=np.int64).view(np.uint64)
+    # wraparound mod 2^64 is intentional
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * h[None, :] + b[:, None]
+    return vals.min(axis=1).view(np.int64)
+
+
+def make_minhash_udf(num_perm: int, seed: int):
+    """Returns pandas_udf: array<bigint> shingle hashes -> array<bigint> sig.
+
+    Rows with null/empty shingle sets return null.
+    """
+    a_params, b_params = minhash_params(num_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_sig(hashes: pd.Series) -> pd.Series:
+        arrs = []
+        keep = np.zeros(len(hashes), dtype=bool)
+        for i, v in enumerate(hashes):
+            if v is not None and len(v) > 0:
+                arrs.append(np.asarray(v, dtype=np.int64).view(np.uint64))
+                keep[i] = True
+        out = np.empty(len(hashes), dtype=object)
+        if arrs:
+            flat = np.concatenate(arrs)
+            lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sigs = np.empty((len(arrs), num_perm), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(num_perm):
+                    v = a_params[j] * flat + b_params[j]
+                    sigs[:, j] = np.minimum.reduceat(v, starts)
+            sig_rows = sigs.view(np.int64)
+            k = 0
+            for i in range(len(hashes)):
+                if keep[i]:
+                    out[i] = sig_rows[k]
+                    k += 1
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """MinHash Jaccard estimate = fraction of agreeing signature slots."""
+    a = np.asarray(sig_a)
+    b = np.asarray(sig_b)
+    return float((a == b).mean())

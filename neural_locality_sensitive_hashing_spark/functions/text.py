@@ -1,0 +1,157 @@
+"""Text kernels: extraction, tokenization, shingling, quality, fingerprints.
+
+All hot-path computation is either a native Catalyst expression (tokenize,
+shingle, hash — JVM-side, whole-stage codegen) or a vectorized pandas UDF
+(HTML extraction — Arrow-batched string ops, no per-row Python loop).
+
+The shingling semantics mirror the reference's hash-code pipeline shape
+(vector → code, ``nlsh/hashings.py:66-92``): here a document's "code
+precursor" is its set of xxhash64'd k-token shingles; MinHash turns the
+set into the fixed-width signature (see ``functions/minhash.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HTML extraction (the per-row invariant: byte-identical text per url)
+# ---------------------------------------------------------------------------
+
+# The extractor contract is frozen: content of <main>...</main>, tags
+# stripped, the five standard HTML entities unescaped (&amp; last so that
+# escaped entities survive a round-trip). The datagen module writes HTML via
+# the exact inverse, making `extract_text(html) == text` byte-identical —
+# golden-tested in tests/test_text.py.
+_MAIN_RE = r"(?s)<main>(.*?)</main>"
+_TAG_RE = r"<[^>]+>"
+
+
+def extract_text(html_col: Column) -> Column:
+    """html BINARY -> extracted text STRING, deterministic and byte-stable.
+
+    Implemented with native Catalyst string expressions (regexp_extract /
+    regexp_replace / replace) so extraction stays JVM-side inside
+    whole-stage codegen — no Python at all.
+    """
+    s = html_col.cast("string")
+    body = F.regexp_extract(s, _MAIN_RE, 1)
+    no_tags = F.regexp_replace(body, _TAG_RE, "")
+    # unescape in fixed order, &amp; last
+    out = no_tags
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def escape_html_text(text_col: Column) -> Column:
+    """Inverse of the unescape step (used by datagen to build html)."""
+    out = text_col
+    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&#39;")]:
+        out = F.replace(out, F.lit(ch), F.lit(ent))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tokenization & shingling (native, codegen'd)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization -> array<string>, empty tokens dropped."""
+    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def shingles(tokens_col: Column, k: int) -> Column:
+    """k-token shingles (space-joined) -> array<string>.
+
+    Documents shorter than k tokens yield a single whole-document shingle,
+    so short docs still participate in dedup instead of silently dropping.
+    """
+    n = F.size(tokens_col)
+    full = F.array(F.array_join(tokens_col, " "))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(tokens_col, i + 1, k), " "),
+    )
+    return F.when(n >= k, grams).otherwise(full)
+
+
+def shingle_hashes(shingles_col: Column) -> Column:
+    """Distinct xxhash64 of each shingle -> array<bigint> (the shingle set).
+
+    xxhash64 runs inside the higher-order ``transform`` lambda — fully
+    JVM-side; the MinHash UDF then consumes these int64s.
+    """
+    return F.array_distinct(F.transform(shingles_col, lambda s: F.xxhash64(s)))
+
+
+def shingle_set(text_col: Column, k: int) -> Column:
+    """text -> distinct shingle-hash set in one expression."""
+    return shingle_hashes(shingles(tokens(text_col), k))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis kernels (training-data pipeline extras)
+# ---------------------------------------------------------------------------
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+# tiny per-language stopword seeds for the n-gram/stopword language heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "una", "que", "por", "con", "para"],
+}
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language ID: argmax over stopword-marker hit counts.
+
+    Ties and zero-hit docs resolve to 'und' (undetermined). Pure native
+    expressions — an aggregate over the token array per language.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    scores = [
+        (lang, F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))))
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reverse order so earlier languages win ties deterministically
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite quality in [0,1]: length band, alpha ratio, stopword ratio.
+
+    Deterministic, SQL-expressible (oracle-checkable in DuckDB).
+    """
+    n_tok = token_count(text_col).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    # mean token length in a healthy band [3, 10]
+    mean_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((mean_len >= 3.0) & (mean_len <= 10.0), 1.0).otherwise(0.0)
+    # alphabetic character ratio
+    alpha = F.length(F.regexp_replace(text_col, r"[^a-zA-Z]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    # doc length band
+    size_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    return F.round((len_ok + alpha_ratio + size_ok) / F.lit(3.0), 6)
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Stable document fingerprint: xxhash64 of whitespace-normalized text."""
+    return F.xxhash64(F.array_join(tokens(text_col), " "))
+
+
+def fingerprint_md5(text_col: Column) -> Column:
+    """MD5 hex fingerprint (oracle-friendly: DuckDB md5() matches)."""
+    return F.md5(F.array_join(tokens(text_col), " "))

@@ -1,0 +1,77 @@
+"""Distributed connected components (union-find) over a pair DataFrame.
+
+The reference returns per-query neighbor lists and never clusters
+(SURVEY.md §2.4 A7) — this is the one genuinely new aggregate the dedup
+engine needs: dup_pairs -> cluster ids = connected components.
+
+Algorithm: iterative min-label propagation to fixpoint, driven from the
+driver with a `localCheckpoint` per iteration to cut lineage (a fixpoint
+loop without checkpointing grows an exponential plan). Per iteration each
+node adopts min(own label, neighbors' labels); converged when no label
+changes. Iteration count is bounded by the component diameter — small for
+dedup graphs (dup groups are dense). Scale note: each iteration is one
+shuffle-join on doc_id + one groupBy; both hash-partition on the same key,
+so AQE reuses the exchange layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(a, b) undirected edges -> (doc_id, cluster_id = min doc_id in comp).
+
+    Only nodes that appear in at least one pair are returned; singletons
+    are each their own cluster and are added by the caller when needed.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def clusters_with_singletons(
+    labels: DataFrame,
+    all_docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Extend component labels to every doc: singletons label themselves."""
+    docs = all_docs.select(F.col(id_col).alias("doc_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )

@@ -1,0 +1,145 @@
+"""End-to-end dedup pipelines (SURVEY.md §3 E2 Spark re-expression):
+
+    pages -> shingle/MinHash signatures -> band explode -> bucket self-join
+          -> exact-Jaccard verify -> union-find -> clusters
+
+plus the cheap exact (fingerprint groupBy) and SimHash variants. Each
+pipeline is a pure DataFrame -> DataFrame function so stages compose with
+the checkpoint manager (plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neural_locality_sensitive_hashing_spark.config import DedupConfig
+from neural_locality_sensitive_hashing_spark.functions import text as T
+from neural_locality_sensitive_hashing_spark.functions.minhash import make_minhash_udf
+from neural_locality_sensitive_hashing_spark.functions.simhash import simhash_udf
+from neural_locality_sensitive_hashing_spark.operators.candidates import (
+    candidate_pairs,
+    explode_bands,
+)
+from neural_locality_sensitive_hashing_spark.operators.connected_components import (
+    clusters_with_singletons,
+    connected_components,
+)
+from neural_locality_sensitive_hashing_spark.operators.verify import (
+    jaccard_verify,
+    simhash_verify,
+)
+
+
+def shingle_documents(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, sh) narrow projection. Column pruning happens here: only
+    (id, text) are read from the source; `html` never crosses a shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.shingle_set(F.col(text_col), cfg.shingle_k).alias("sh"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, sh, sig). One Arrow-batched UDF pass."""
+    udf = make_minhash_udf(cfg.num_perm, cfg.minhash_seed)
+    return shingled.withColumn("sig", udf(F.col("sh")))
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full candidate-generation + verification -> (a, b, jaccard)."""
+    sigs = minhash_signatures(shingle_documents(docs, cfg, id_col, text_col), cfg)
+    # signatures are reused by banding AND the verify gather-join — cache once
+    sigs = sigs.persist()
+    bands = explode_bands(sigs, cfg)
+    cands = candidate_pairs(bands, cfg)
+    return jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
+
+
+def minhash_dedup_clusters(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, cluster_id) over ALL docs (singletons label themselves)."""
+    pairs = minhash_dup_pairs(docs, cfg, id_col, text_col)
+    labels = connected_components(pairs, cfg.max_cc_iterations)
+    return clusters_with_singletons(labels, docs, id_col)
+
+
+def exact_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicates via fingerprint equi-join -> (a, b). No O(n²):
+    group on the 128-bit fingerprint, self-join within groups."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), T.fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+    l = fp.alias("l")
+    r = fp.alias("r")
+    return (
+        l.join(r, "fp")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    )
+
+
+def exact_dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, cluster_id = min doc_id sharing the fingerprint).
+    One shuffle (window over fp) — no join, no union-find needed since
+    exact-duplicate equality is already transitive."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), T.fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    return fp.select("doc_id", F.min("doc_id").over(w).alias("cluster_id"))
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit code into 4×16-bit chunks
+    (any pair within Hamming distance <= 3 shares at least one exact chunk
+    — pigeonhole), bucket self-join per chunk, verify with bit_count.
+    -> (a, b, hamming)."""
+    codes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_udf(T.shingle_set(F.col(text_col), cfg.shingle_k)).alias("simhash"),
+    ).persist()
+    n_chunks = 4
+    chunks = codes.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.shiftrightunsigned(F.col("simhash"), c * F.lit(16)).bitwiseAND(
+                    F.lit(0xFFFF)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cands = candidate_pairs(chunks, cfg)
+    return simhash_verify(cands, codes, cfg)
