@@ -1,0 +1,91 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The per-query numbers are end-to-end (plan + execute + collect-to-count);
+`webtext_dedup` is the flagship: the full MinHash-LSH dedup pipeline over a
+generated 50k-page Common-Crawl-style corpus (datagen time excluded, corpus
+cached on disk). Scaling evidence across parallelism levels is produced by
+tools/bench_scaling.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "minhash_dedup_pairs",
+    "minhash_dedup_clusters",
+    "ngram_jaccard_pairs",
+    "simhash_dup_pairs",
+    "doc_profile",
+    "top_tokens",
+    "knn_bruteforce",
+    "ann_lsh_cosine",
+    "pricing_summary",
+    "top_customers",
+    "user_topk_events",
+]
+
+WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from neural_locality_sensitive_hashing_spark import DedupConfig, spark_session
+    from neural_locality_sensitive_hashing_spark.datagen import write_pages_dataset
+    from neural_locality_sensitive_hashing_spark.operators.dedup import (
+        minhash_dedup_clusters,
+    )
+    from neural_locality_sensitive_hashing_spark.queries import QUERIES
+
+    spark = spark_session("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    # flagship: full dedup pipeline over generated webtext (datagen cached)
+    cache_dir = os.environ.get("BENCH_WEBTEXT_DIR", f"/tmp/nlsh_bench_webtext_{WEBTEXT_DOCS}")
+    pages_path, _ = write_pages_dataset(cache_dir, WEBTEXT_DOCS, seed=42)
+    pages = spark.read.parquet(pages_path)
+    t0 = time.time()
+    n_docs = pages.count()
+    minhash_dedup_clusters(pages, DedupConfig()).count()
+    wall = time.time() - t0
+    timings["webtext_dedup"] = round(wall, 3)
+    docs_per_sec = round(n_docs / wall, 1)
+    print(f"# webtext_dedup: {wall:.1f}s for {n_docs} docs = {docs_per_sec} docs/s",
+          file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "webtext_docs": n_docs,
+        "webtext_docs_per_sec": docs_per_sec,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -129,15 +129,11 @@ def simhash_dup_pairs(
         F.col(id_col).alias("doc_id"),
         simhash_udf(T.shingle_set(F.col(text_col), cfg.shingle_k)).alias("simhash"),
     ).persist()
-    n_chunks = 4
     chunks = codes.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda c: F.shiftrightunsigned(F.col("simhash"), c * F.lit(16)).bitwiseAND(
-                    F.lit(0xFFFF)
-                ),
+            F.expr(
+                "transform(sequence(0, 3), c -> shiftrightunsigned(simhash, c * 16) & 65535)"
             )
         ).alias("band", "bucket"),
     )
