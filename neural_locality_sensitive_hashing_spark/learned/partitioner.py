@@ -1,0 +1,169 @@
+"""Learned LSH partitioner: offline numpy trainer + executor-side kernel.
+
+Re-imagines the reference's end-to-end learned hashing (encoder + Bernoulli
+head + balance-aware loss + multi-probe, ``nlsh/hashings.py:13-92``,
+``nlsh/trainers/siamese.py:9-20``, ``nlsh/trainers/proposed.py:96-118``)
+under Spark's constraints: training happens ONCE on the driver over a small
+sample (numpy only — no torch on executors), and the fitted weights ship to
+executors as a broadcast dict applied inside a vectorized pandas UDF.
+
+Model:   p = sigmoid(x @ W + b)           (h per-bit probabilities)
+Code:    bits = p > 0.5, packed MSB-first (mirrors ``nlsh/utils.pyx:7-15``)
+Loss:    contrastive pull/push (siamese semantics) +
+         bucket-balance penalty mean_k (mean_i p_ik - 0.5)^2 — the
+         "proposed" trainer's oversized-bucket penalty in closed form.
+Probe:   deterministic multi-probe — flip subsets of the least-confident
+         bits (|p-0.5| smallest), the deterministic counterpart of the
+         reference's Bernoulli probe sampling (``nlsh/hashings.py:77-83``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+
+def train_partitioner(
+    x: np.ndarray,
+    n_bits: int = 16,
+    epochs: int = 60,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    balance_weight: float = 0.5,
+    seed: int = 42,
+) -> dict[str, np.ndarray]:
+    """Fit (W, b) on a sample matrix x (n, d). Positive pairs = exact
+    nearest neighbor of each row within the sample (the reference's
+    precomputed self-kNN, ``precompute.py:57-67``); negatives = random
+    pairs. Adam with AMSGrad, mirroring the reference's fit loop
+    (``nlsh/trainers/base.py:68-79``)."""
+    rng = np.random.default_rng(seed)
+    n, d = x.shape
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    # exact cosine top-1 neighbor within the sample (brute force, driver-side)
+    sim = xn @ xn.T
+    np.fill_diagonal(sim, -np.inf)
+    pos = sim.argmax(axis=1)
+
+    w = rng.standard_normal((d, n_bits)) / np.sqrt(d)
+    b = np.zeros(n_bits)
+    mw, vw, vw_hat = np.zeros_like(w), np.zeros_like(w), np.zeros_like(w)
+    mb, vb, vb_hat = np.zeros_like(b), np.zeros_like(b), np.zeros_like(b)
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    t = 0
+
+    for _ in range(epochs):
+        neg = rng.integers(0, n, size=n)
+        z = xn @ w + b
+        p = _sigmoid(z)
+        dp = np.zeros_like(p)
+
+        # pull: ||p_i - p_pos||^2
+        diff_p = p - p[pos]
+        dp += 2 * diff_p / n
+        np.add.at(dp, pos, -2 * diff_p / n)
+        # push: max(0, margin - ||p_i - p_neg||^2)
+        diff_n = p - p[neg]
+        dist_n = (diff_n**2).sum(axis=1)
+        active = (dist_n < margin).astype(np.float64)[:, None]
+        dp += -2 * diff_n * active / n
+        np.add.at(dp, neg, 2 * diff_n * active / n)
+        # balance: (mean_i p_ik - 0.5)^2 per bit
+        mean_p = p.mean(axis=0)
+        dp += balance_weight * 2 * (mean_p - 0.5)[None, :] / n
+
+        dz = dp * p * (1 - p)
+        gw = xn.T @ dz
+        gb = dz.sum(axis=0)
+
+        t += 1
+        mw = beta1 * mw + (1 - beta1) * gw
+        vw = beta2 * vw + (1 - beta2) * gw**2
+        vw_hat = np.maximum(vw_hat, vw)  # amsgrad
+        w -= lr * (mw / (1 - beta1**t)) / (np.sqrt(vw_hat / (1 - beta2**t)) + eps)
+        mb = beta1 * mb + (1 - beta1) * gb
+        vb = beta2 * vb + (1 - beta2) * gb**2
+        vb_hat = np.maximum(vb_hat, vb)
+        b -= lr * (mb / (1 - beta1**t)) / (np.sqrt(vb_hat / (1 - beta2**t)) + eps)
+
+    return {"W": w.astype(np.float64), "b": b.astype(np.float64)}
+
+
+def save_partitioner(path: str, weights: dict[str, np.ndarray]) -> None:
+    """Model sink — the reference's TorchScript save (S5) as an .npz."""
+    np.savez(path, **weights)
+
+
+def load_partitioner(path: str) -> dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+_POW2 = None
+
+
+def _pack_bits_msb(bits: np.ndarray) -> np.ndarray:
+    """(n, h) 0/1 -> (n,) int64, MSB-first: out = (out << 1) | bit — the
+    exact semantics of the reference's Cython bit-pack."""
+    h = bits.shape[1]
+    weights = 1 << np.arange(h - 1, -1, -1, dtype=np.int64)
+    return (bits.astype(np.int64) * weights).sum(axis=1)
+
+
+def hash_codes_numpy(
+    x: np.ndarray, weights: dict[str, np.ndarray], n_probes: int = 1
+) -> list[list[int]]:
+    """(n, d) -> per-row list of probe codes (first = hard code). Extra
+    probes flip subsets of the least-confident bits, gray-code order."""
+    p = _sigmoid(x @ weights["W"] + weights["b"])
+    bits = (p > 0.5).astype(np.int64)
+    base = _pack_bits_msb(bits)
+    h = bits.shape[1]
+    if n_probes <= 1:
+        return [[int(c)] for c in base]
+    conf_order = np.argsort(np.abs(p - 0.5), axis=1)  # least confident first
+    out = []
+    for i in range(len(base)):
+        codes = [int(base[i])]
+        # flip combinations in increasing uncertainty-cost order
+        for mask in range(1, n_probes):
+            flip = 0
+            mm, j = mask, 0
+            while mm:
+                if mm & 1:
+                    bitpos = h - 1 - int(conf_order[i, j])  # MSB-first weight
+                    flip |= 1 << bitpos
+                mm >>= 1
+                j += 1
+            codes.append(int(base[i]) ^ flip)
+        out.append(codes[:n_probes])
+    return out
+
+
+def make_learned_code_udf(weights: dict[str, np.ndarray], n_probes: int = 1):
+    """pandas_udf: array<float> embedding -> array<bigint> probe codes.
+
+    `weights` is captured by value and shipped once per task via Spark's
+    broadcast-on-pickle; the per-batch work is one matmul."""
+    w = weights["W"].astype(np.float64)
+    b = weights["b"].astype(np.float64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=object)
+        ok = [i for i, v in enumerate(vecs) if v is not None]
+        if ok:
+            m = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
+            probe_lists = hash_codes_numpy(m, {"W": w, "b": b}, n_probes)
+            for j, i in enumerate(ok):
+                out[i] = probe_lists[j]
+        return pd.Series(out)
+
+    return codes

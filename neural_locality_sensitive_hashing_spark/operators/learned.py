@@ -1,0 +1,119 @@
+"""Learned-partitioner dedup + ANN pipelines (SURVEY.md §7 stage 2).
+
+Same candidate machinery as MinHash banding, but buckets come from the
+learned code UDF over document embeddings — the `minhash-banding` vs
+`learned` partitioner switch the reference's design motivates. The trainer
+runs on a driver-side sample (`sample()` scan only); fitted weights are
+broadcast inside the UDF closure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neural_locality_sensitive_hashing_spark.config import DedupConfig
+from neural_locality_sensitive_hashing_spark.functions.embedding import (
+    make_hashed_embedding_udf,
+)
+from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+    make_learned_code_udf,
+    train_partitioner,
+)
+from neural_locality_sensitive_hashing_spark.operators.candidates import candidate_pairs
+from neural_locality_sensitive_hashing_spark.operators.dedup import shingle_documents
+from neural_locality_sensitive_hashing_spark.operators.similarity import (
+    cosine_similarity,
+)
+from neural_locality_sensitive_hashing_spark.operators.verify import jaccard_verify
+
+
+def fit_partitioner_on_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> dict[str, np.ndarray]:
+    """Driver-side training scan: sample embeddings, fit numpy partitioner.
+    The only cluster work is the sampling scan (SURVEY §3 E1 re-expression:
+    'no cluster boundary crossings during training')."""
+    sample = (
+        df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(sample_rows).collect()
+    )
+    x = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    return train_partitioner(x, n_bits=n_bits, seed=seed)
+
+
+def learned_dup_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    weights: dict[str, np.ndarray] | None = None,
+    n_probes: int = 4,
+    embed_dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup with the learned partitioner: embed -> probe codes -> bucket
+    self-join -> exact-Jaccard verify. Verification threshold and skew
+    handling are identical to the MinHash path, so the two partitioners are
+    directly comparable on candidate fan-out (the reference's `query_size`
+    metric, ``nlsh/trainers/base.py:98``)."""
+    embed = make_hashed_embedding_udf(dim=embed_dim, seed=cfg.minhash_seed)
+    emb = docs.select(
+        F.col(id_col).alias("doc_id"), embed(F.col(text_col)).alias("embedding")
+    ).persist()
+    if weights is None:
+        weights = fit_partitioner_on_sample(emb, seed=cfg.minhash_seed)
+    code_udf = make_learned_code_udf(weights, n_probes=n_probes)
+    buckets = emb.select(
+        "doc_id", F.posexplode(code_udf(F.col("embedding"))).alias("band", "bucket")
+    )
+    # multi-probe: a pair collides if probe sets intersect — drop the band
+    # coordinate (band = probe index) so probe-i can meet probe-j
+    buckets = buckets.select("doc_id", F.lit(0).alias("band"), "bucket").dropDuplicates(
+        ["doc_id", "bucket"]
+    )
+    cands = candidate_pairs(buckets, cfg)
+    sh = shingle_documents(docs, cfg, id_col, text_col)
+    return jaccard_verify(cands, sh, cfg)
+
+
+def learned_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    weights: dict[str, np.ndarray],
+    k: int = 10,
+    n_probes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search with the learned partitioner — the reference's exact query
+    path (multi-probe query codes vs single-code index,
+    ``nlsh/indexer.py:36-38,56-96``): corpus hashed once, queries probe
+    n_probes buckets, exact cosine re-ranks."""
+    corpus_codes = make_learned_code_udf(weights, n_probes=1)
+    query_codes = make_learned_code_udf(weights, n_probes=n_probes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        F.explode(corpus_codes(F.col(vec_col))).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+        F.explode(query_codes(F.col(vec_col))).alias("bucket"),
+    )
+    cand = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return sim.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)

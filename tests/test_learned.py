@@ -1,0 +1,116 @@
+"""Learned partitioner: trainer quality, kernel parity, e2e dedup + ANN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_locality_sensitive_hashing_spark.config import DedupConfig
+from neural_locality_sensitive_hashing_spark.functions.embedding import (
+    embed_tokens_numpy,
+    make_hashed_embedding_udf,
+)
+from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+    _pack_bits_msb,
+    hash_codes_numpy,
+    load_partitioner,
+    save_partitioner,
+    train_partitioner,
+)
+from neural_locality_sensitive_hashing_spark.operators.learned import (
+    learned_ann,
+    learned_dup_pairs,
+)
+from neural_locality_sensitive_hashing_spark.operators.similarity import knn_bruteforce
+
+CFG = DedupConfig()
+
+
+def test_pack_bits_msb_golden():
+    # mirror of the reference bit-pack semantics (nlsh/utils.pyx:7-15):
+    # out = (out << 1) | bit, MSB-first
+    assert _pack_bits_msb(np.array([[1, 0, 1]]))[0] == 5
+    assert _pack_bits_msb(np.array([[0, 1, 1, 1]]))[0] == 7
+    assert _pack_bits_msb(np.array([[1] * 16]))[0] == (1 << 16) - 1
+
+
+def test_embedding_udf_matches_numpy(spark):
+    texts = ["the cat sat", "a b c d e f", "zzz zzz zzz"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    udf = make_hashed_embedding_udf(dim=32, seed=7)
+    got = {r.i: np.array(r.e) for r in df.select("i", udf("text").alias("e")).collect()}
+    for i, t in enumerate(texts):
+        want = embed_tokens_numpy(t.split(), 32, 7)
+        np.testing.assert_allclose(got[i], want, rtol=1e-6)
+
+
+def test_trainer_balance_and_cohesion():
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((20, 32))
+    x = np.repeat(centers, 30, axis=0) + 0.05 * rng.standard_normal((600, 32))
+    w = train_partitioner(x, n_bits=10, epochs=40, seed=42)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    codes = np.array([c[0] for c in hash_codes_numpy(xn, w)])
+    # cohesion: most centers collapse to a single bucket
+    single = sum(len(set(codes[i * 30 : (i + 1) * 30])) == 1 for i in range(20))
+    assert single >= 12
+    # balance: no bucket swallows multiple centers' mass
+    from collections import Counter
+
+    assert max(Counter(codes.tolist()).values()) <= 60
+
+
+def test_save_load_roundtrip(tmp_path):
+    w = train_partitioner(np.random.default_rng(1).standard_normal((100, 8)), n_bits=4, epochs=5)
+    p = str(tmp_path / "part.npz")
+    save_partitioner(p, w)
+    w2 = load_partitioner(p)
+    np.testing.assert_array_equal(w["W"], w2["W"])
+    np.testing.assert_array_equal(w["b"], w2["b"])
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((20, 16))
+    pts = centers[rng.integers(0, 20, 400)] + 0.1 * rng.standard_normal((400, 16))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    ).persist()
+
+
+def test_learned_ann_recall(spark, clustered_vectors):
+    x = np.array(
+        [r.embedding for r in clustered_vectors.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    w = train_partitioner(x, n_bits=10, epochs=40, seed=42)
+    q = clustered_vectors.where(F.col("vec_id") < 40)
+    exact = knn_bruteforce(q, clustered_vectors, k=10).collect()
+    approx = learned_ann(q, clustered_vectors, w, k=10, n_probes=8).collect()
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[qq] & got.get(qq, set())) / len(truth[qq]) for qq in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"learned ANN recall {mean_recall:.3f}"
+
+
+def test_learned_dedup_finds_exact_dups(spark):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+    docs = []
+    for i in range(60):
+        toks = [vocab[j] for j in rng.integers(0, 5000, 80)]
+        docs.append((2 * i, " ".join(toks)))
+        docs.append((2 * i + 1, " ".join(toks)))  # exact dup partner
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = learned_dup_pairs(df, CFG, n_probes=4)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(60)}
+    missed = want - got
+    assert len(missed) <= 1, f"learned partitioner missed exact-dup pairs: {missed}"

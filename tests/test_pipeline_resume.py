@@ -1,0 +1,70 @@
+"""Checkpoint/resume tests (FIXTURES §4: resume scenario + lineage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_locality_sensitive_hashing_spark.config import DedupConfig
+from neural_locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def pipeline_env(spark, pages_1k, tmp_path_factory):
+    pages_path, _ = pages_1k
+    pages = spark.read.parquet(pages_path)
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    return pages, ckpt
+
+
+def _cluster_map(df):
+    return {r.doc_id: r.cluster_id for r in df.collect()}
+
+
+def test_full_run_then_resume_is_identical_and_skips_stages(spark, pipeline_env):
+    pages, ckpt = pipeline_env
+    pipe = DedupPipeline(spark, CFG, ckpt, input_token="pages_1k")
+    clusters1, rep1 = pipe.run(pages)
+    m1 = _cluster_map(clusters1)
+    assert rep1.cached_stages() == set()
+
+    # rerun without dropping anything: everything cached
+    clusters2, rep2 = pipe.run(pages)
+    assert rep2.cached_stages() == set(DedupPipeline.STAGES)
+    assert _cluster_map(clusters2) == m1
+
+    # kill after cand_pairs: drop dup_pairs + clusters, resume
+    pipe.drop_from("dup_pairs")
+    clusters3, rep3 = pipe.run(pages)
+    assert rep3.cached_stages() == {"signatures", "cand_pairs"}
+    assert _cluster_map(clusters3) == m1
+
+
+def test_config_change_invalidates(spark, pipeline_env):
+    pages, ckpt = pipeline_env
+    cfg2 = DedupConfig(jaccard_threshold=0.8)
+    pipe = DedupPipeline(spark, cfg2, ckpt, input_token="pages_1k")
+    clusters, rep = pipe.run(pages)
+    # different fingerprint -> nothing reused from the τ=0.7 run
+    assert rep.cached_stages() == set()
+    assert clusters.count() == pages.count()
+
+
+def test_lineage_written(spark, pipeline_env):
+    pages, ckpt = pipeline_env
+    pipe = DedupPipeline(spark, CFG, ckpt, input_token="pages_1k")
+    pipe.run(pages)
+    lineage = pipe.catalog.lineage()
+    assert lineage is not None
+    stages = {r.stage for r in lineage.select("stage").distinct().collect()}
+    assert set(DedupPipeline.STAGES) <= stages
+    # per-partition rows sum to stage totals for the latest clusters snapshot
+    total = (
+        lineage.where(F.col("stage") == "clusters")
+        .groupBy("fingerprint")
+        .agg(F.sum("rows").alias("n"))
+        .collect()
+    )
+    assert any(r.n == pages.count() for r in total)

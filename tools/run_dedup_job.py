@@ -1,0 +1,129 @@
+"""Standalone dedup job for spark-submit (the north rule's submission path):
+
+    spark-submit --master local[N] --py-files nlsh_spark.zip \
+        tools/run_dedup_job.py --pages /path/pages.parquet --json-out out.json
+
+Runs the full MinHash-LSH dedup pipeline (signatures -> candidates ->
+verify -> clusters) and writes a one-line JSON timing report with
+per-stage wall times.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--with-simhash", action="store_true")
+    ap.add_argument("--with-longrepeat", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from neural_locality_sensitive_hashing_spark.config import DedupConfig
+    from neural_locality_sensitive_hashing_spark.functions.simhash import simhash_udf
+    from neural_locality_sensitive_hashing_spark.operators.candidates import (
+        candidate_pairs,
+        explode_bands,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.connected_components import (
+        clusters_with_singletons,
+        connected_components,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_documents,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.suffix import long_repeat_pairs
+    from neural_locality_sensitive_hashing_spark.operators.verify import (
+        jaccard_verify,
+        simhash_verify,
+    )
+
+    builder = SparkSession.builder.appName("nlsh-dedup-job")
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+    cfg = DedupConfig()
+
+    pages = spark.read.parquet(args.pages)
+    n_docs = pages.count()
+
+    stages: dict[str, float] = {}
+    t_all = time.time()
+
+    t0 = time.time()
+    sigs = minhash_signatures(shingle_documents(pages, cfg), cfg)
+    if args.with_simhash:
+        from pyspark.sql import functions as F
+
+        sigs = sigs.withColumn("simhash", simhash_udf(F.col("sh")))
+    sigs = sigs.persist()
+    sigs.count()
+    stages["signatures"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    cands = candidate_pairs(explode_bands(sigs, cfg), cfg).persist()
+    n_cands = cands.count()
+    stages["cand_pairs"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    dups = jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
+    if args.with_simhash:
+        from pyspark.sql import functions as F
+
+        sim_pairs = simhash_verify(cands, sigs.select("doc_id", "simhash"), cfg).select(
+            "a", "b", F.lit(1.0).alias("jaccard")
+        )
+        dups = dups.unionByName(sim_pairs).dropDuplicates(["a", "b"])
+    if args.with_longrepeat:
+        from pyspark.sql import functions as F
+
+        lr = long_repeat_pairs(pages, cfg).select("a", "b", F.lit(1.0).alias("jaccard"))
+        dups = dups.unionByName(lr).dropDuplicates(["a", "b"])
+    dups = dups.persist()
+    n_dups = dups.count()
+    stages["verify"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    labels = connected_components(dups, cfg.max_cc_iterations)
+    clusters = clusters_with_singletons(labels, sigs, "doc_id")
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    stages["clusters"] = round(time.time() - t0, 2)
+
+    wall = round(time.time() - t_all, 2)
+    report = {
+        "docs": n_docs,
+        "cores": cores,
+        "wall_sec": wall,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "stages": stages,
+        "candidate_pairs": n_cands,
+        "dup_pairs": n_dups,
+        "clusters": n_clusters,
+    }
+    line = json.dumps(report)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
