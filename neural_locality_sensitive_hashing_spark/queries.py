@@ -191,6 +191,71 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(docs, CFG).select("a", "b", "hamming")
 
 
+LONG_REPEAT_GRAM = 12
+
+
+def q_long_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-verbatim-block pairs: docs sharing >=1 distinct
+    12-token gram, with the shared-gram count. (The engine-scale winnowed
+    variant is `longrepeat_winnowed_pairs`.)"""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.shingles(T.tokens(F.col("text")), LONG_REPEAT_GRAM))
+        ).alias("g"),
+    ).where(F.size(T.tokens(F.col("g"))) >= F.lit(LONG_REPEAT_GRAM))
+    return (
+        grams.alias("l")
+        .join(grams.alias("r"), "g")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+SQL_LONG_REPEAT_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(t[i:i+{LONG_REPEAT_GRAM - 1}], ' ')
+     for i in range(1, len(t) - {LONG_REPEAT_GRAM - 2})])) AS g
+  FROM toks WHERE len(t) >= {LONG_REPEAT_GRAM}
+)
+SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
+GROUP BY a, b
+"""
+
+
+def q_longrepeat_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-scale winnowed long-repeat pass — numpy fingerprint kernel is
+    not SQL-expressible; rows-only driver check (pytest gates recall)."""
+    from neural_locality_sensitive_hashing_spark.operators.suffix import (
+        long_repeat_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cfg_small = DedupConfig(long_repeat_min_tokens=LONG_REPEAT_GRAM)
+    return long_repeat_pairs(docs, cfg_small, winnow_window=4)
+
+
+def q_learned_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-partitioner ANN (trainer on driver sample + broadcast kernel)
+    — rows-only driver check; recall gated in tests/test_learned.py."""
+    from neural_locality_sensitive_hashing_spark.operators.learned import (
+        fit_partitioner_on_sample,
+        learned_ann,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    weights = fit_partitioner_on_sample(emb, n_bits=10, seed=42)
+    queries = emb.where(F.col("vec_id") < 32)
+    return learned_ann(queries, emb, weights, k=10, n_probes=8)
+
+
 # --- documents: text analysis ------------------------------------------------
 
 
@@ -471,6 +536,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
+    "long_repeat_pairs": q_long_repeat_pairs,
+    "longrepeat_winnowed_pairs": q_longrepeat_winnowed_pairs,
+    "learned_ann_cosine": q_learned_ann_cosine,
     "doc_profile": q_doc_profile,
     "lang_summary": q_lang_summary,
     "top_tokens": q_top_tokens,
@@ -490,7 +558,9 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
-    # simhash_dup_pairs, ann_lsh_cosine: non-SQL-expressible → rows-only
+    "long_repeat_pairs": SQL_LONG_REPEAT_PAIRS,
+    # simhash_dup_pairs, longrepeat_winnowed_pairs, ann_lsh_cosine,
+    # learned_ann_cosine: non-SQL-expressible → rows-only
     "doc_profile": SQL_DOC_PROFILE,
     "lang_summary": SQL_LANG_SUMMARY,
     "top_tokens": SQL_TOP_TOKENS,

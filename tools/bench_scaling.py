@@ -1,0 +1,109 @@
+"""Two-parallelism-level scaling evidence (BASELINE.md protocol).
+
+The north rule's N vs 4N executor criterion cannot use a real cluster in
+this sandbox; per the driver instruction it is evidenced by running the
+IDENTICAL spark-submit job on the IDENTICAL input at local[8] and
+local[32] (fresh JVM each) and reporting throughput at both plus
+efficiency = throughput(4N) / (4 * throughput(N)). Writes
+BENCH/BASELINE.md.
+
+    python tools/bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, pages: str, zip_path: str, extra: list[str]) -> dict:
+    out_json = f"/tmp/nlsh_scale_{cpus}.json"
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--driver-memory", "16g",
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "run_dedup_job.py"),
+        "--pages", pages,
+        "--shuffle-partitions", str(cpus),
+        "--json-out", out_json,
+        *extra,
+    ]
+    print(f"# running local[{cpus}] ...", file=sys.stderr)
+    t0 = time.time()
+    subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out_json) as f:
+        rep = json.load(f)
+    rep["submit_wall_sec"] = round(time.time() - t0, 1)
+    return rep
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("BENCH_SCALING_DOCS", "100000")
+    )
+    extra = sys.argv[2:]
+
+    sys.path.insert(0, REPO)
+    from neural_locality_sensitive_hashing_spark.datagen import write_pages_dataset
+
+    pages, _ = write_pages_dataset(f"/tmp/nlsh_bench_webtext_{n_docs}", n_docs, seed=42)
+
+    zip_path = "/tmp/nlsh_spark_pkg.zip"
+    subprocess.run(
+        ["zip", "-qr", zip_path, "neural_locality_sensitive_hashing_spark"],
+        cwd=REPO, check=True,
+    )
+
+    lo = run_level(8, pages, zip_path, extra)
+    hi = run_level(32, pages, zip_path, extra)
+    eff = (hi["docs_per_sec"]) / (4.0 * lo["docs_per_sec"])
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — dedup throughput + scaling evidence
+
+Full MinHash-LSH dedup pipeline (signatures -> banded candidate self-join
+-> exact-Jaccard verify -> union-find clusters) on the deterministic
+synthetic Common-Crawl-style corpus ({lo['docs']} docs, seed 42), submitted
+via `spark-submit --py-files` as two otherwise-identical jobs at two
+parallelism levels (the sandbox stand-in for N vs 4N executors — see
+BASELINE.md scaling-protocol note).
+
+| parallelism | wall (s) | docs/sec | signatures | cand_pairs | verify | clusters |
+|---|---|---|---|---|---|---|
+| local[8]  (N)  | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo['stages']['signatures']} | {lo['stages']['cand_pairs']} | {lo['stages']['verify']} | {lo['stages']['clusters']} |
+| local[32] (4N) | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi['stages']['signatures']} | {hi['stages']['cand_pairs']} | {hi['stages']['verify']} | {hi['stages']['clusters']} |
+
+**Scaling efficiency = throughput(4N) / (4 x throughput(N)) =
+{hi['docs_per_sec']} / (4 x {lo['docs_per_sec']}) = {eff:.3f}**
+(target >= 0.8).
+
+Pipeline invariants at both levels: candidate_pairs={lo['candidate_pairs']}
+vs {hi['candidate_pairs']}, dup_pairs={lo['dup_pairs']} vs {hi['dup_pairs']},
+clusters={lo['clusters']} vs {hi['clusters']} — identical results regardless
+of parallelism (determinism across partitioning).
+
+Reproduce: `python tools/bench_scaling.py {lo['docs']}`
+"""
+        )
+    print(json.dumps({
+        "docs": lo["docs"],
+        "local8_docs_per_sec": lo["docs_per_sec"],
+        "local32_docs_per_sec": hi["docs_per_sec"],
+        "efficiency": round(eff, 3),
+        "results_identical": (
+            lo["dup_pairs"] == hi["dup_pairs"] and lo["clusters"] == hi["clusters"]
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,13 @@ def main() -> None:
     ap.add_argument("--pages", required=True)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--max-partition-bytes",
+        default="8m",
+        help="parquet scan split size; small enough that a single-file "
+        "local corpus still fans out across all cores (at cluster scale "
+        "inputs are many files and the default 128m applies)",
+    )
     ap.add_argument("--with-simhash", action="store_true")
     ap.add_argument("--with-longrepeat", action="store_true")
     args = ap.parse_args()
@@ -50,7 +57,8 @@ def main() -> None:
     if args.shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     builder = (
-        builder.config("spark.sql.adaptive.enabled", "true")
+        builder.config("spark.sql.files.maxPartitionBytes", args.max_partition_bytes)
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
