@@ -24,10 +24,15 @@ HEADLINE = [
     "minhash_dedup_clusters",
     "ngram_jaccard_pairs",
     "simhash_dup_pairs",
+    "long_repeat_pairs",
+    "longrepeat_winnowed_pairs",
     "doc_profile",
+    "token_stats",
     "top_tokens",
     "knn_bruteforce",
     "ann_lsh_cosine",
+    "learned_ann_cosine",
+    "embedding_dup_pairs",
     "pricing_summary",
     "top_customers",
     "user_topk_events",

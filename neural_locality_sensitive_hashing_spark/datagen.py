@@ -212,7 +212,10 @@ def write_pages_dataset(out_dir: str, n_docs: int, seed: int = 42) -> tuple[str,
     if os.path.exists(pages_path) and os.path.exists(truth_path):
         return pages_path, truth_path
     pages, truth = generate_pages(n_docs, seed)
-    row_group = max(1024, min(n_docs // 8, 64 * 1024))
+    # small row groups so a single local file still splits across ~64 scan
+    # tasks (a partition only reads row groups that START inside its byte
+    # range — 8 giant row groups would cap scan parallelism at 8 tasks)
+    row_group = max(512, min(n_docs // 64, 8 * 1024))
     pq.write_table(pages, pages_path, row_group_size=row_group)
     pq.write_table(truth, truth_path)
     return pages_path, truth_path

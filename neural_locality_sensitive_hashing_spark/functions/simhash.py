@@ -37,9 +37,13 @@ def simhash_udf(hashes: pd.Series) -> pd.Series:
     arrs = []
     keep = np.zeros(len(hashes), dtype=bool)
     for i, v in enumerate(hashes):
-        if v is not None and len(v) > 0:
+        if v is None or len(v) == 0:
+            continue
+        if isinstance(v, (bytes, bytearray)):
+            arrs.append(np.frombuffer(v, dtype="<u8"))
+        else:
             arrs.append(np.asarray(v, dtype=np.int64).view(np.uint64))
-            keep[i] = True
+        keep[i] = True
     out = np.full(len(hashes), np.nan, dtype=object)
     if arrs:
         flat = np.concatenate(arrs)

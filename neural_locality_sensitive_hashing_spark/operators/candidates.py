@@ -56,14 +56,26 @@ def candidate_pairs(
 
     Normal buckets: all-pairs self-join (AQE skew-join splits stragglers).
     Oversized buckets (> cfg.bucket_pair_cap members): sorted chain
-    (i, i+1) plus stride-16 links (i, i+16) — O(n) pairs, still connects
-    the whole bucket for clustering; emitted pair counts are exact while
-    dropped-pair counts per bucket are derivable from `bucket_stats`.
+    (i, i+1) plus binary-tree parent links (i, i//2) — O(n) pairs total.
+    The chain keeps locally-adjacent (most-likely-to-verify) pairs; the
+    tree caps the component diameter at O(log n) so the union-find
+    fixpoint converges in logarithmically many rounds even for a
+    boilerplate mega-bucket with millions of members (a chain alone would
+    need O(n) label-propagation rounds — fatal at 10^12 docs). Dropped
+    pair counts per bucket are derivable from `bucket_stats`.
     """
     cap = cfg.bucket_pair_cap
     nparts = cfg.candidate_partitions
-    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("bucket_size"))
-    tagged = bands.join(sizes, ["band", "bucket"])
+    # one exchange on (band, bucket) feeds both the size tag and the rank —
+    # cheaper than a groupBy-count + join-back (two shuffles of the bands)
+    w = Window.partitionBy("band", "bucket")
+    tagged = bands.select(
+        "band",
+        "bucket",
+        "doc_id",
+        F.count("*").over(w).alias("bucket_size"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+    ).persist()
 
     small = tagged.where(F.col("bucket_size") <= cap).select("band", "bucket", "doc_id")
     if nparts:
@@ -76,21 +88,33 @@ def candidate_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
     )
 
-    big = tagged.where(F.col("bucket_size") > cap)
-    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    ranked = big.select("band", "bucket", "doc_id", F.row_number().over(w).alias("rn"))
-    chains = []
-    for stride in (1, 16):
-        lft = ranked.alias("cl")
-        rgt = ranked.select(
-            "band", "bucket", F.col("doc_id").alias("b_doc"), (F.col("rn") - stride).alias("rn")
-        ).alias("cr")
-        chains.append(
-            lft.join(rgt, ["band", "bucket", "rn"]).select(
-                F.col("doc_id").alias("a"), F.col("b_doc").alias("b")
-            )
+    ranked = tagged.where(F.col("bucket_size") > cap).select(
+        "band", "bucket", "doc_id", "rn"
+    )
+    chain_rgt = ranked.select(
+        "band", "bucket", F.col("doc_id").alias("b_doc"), (F.col("rn") - 1).alias("rn")
+    )
+    chain = ranked.join(chain_rgt, ["band", "bucket", "rn"]).select(
+        F.col("doc_id").alias("a"), F.col("b_doc").alias("b")
+    )
+    tree_rgt = ranked.select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("b_doc"),
+        (F.col("rn") * 2).alias("rn"),  # parent rn -> children 2rn (and 2rn+1 below)
+    )
+    tree = (
+        ranked.join(tree_rgt, ["band", "bucket", "rn"])
+        .select(F.col("doc_id").alias("a"), F.col("b_doc").alias("b"))
+        .unionByName(
+            ranked.join(
+                tree_rgt.withColumn("rn", F.col("rn") + 1), ["band", "bucket", "rn"]
+            ).select(F.col("doc_id").alias("a"), F.col("b_doc").alias("b"))
         )
-    pairs_big = chains[0].unionByName(chains[1])
+    )
+    pairs_big = chain.unionByName(tree).where(F.col("a") != F.col("b")).select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    )
 
     return pairs_small.unionByName(pairs_big).dropDuplicates(["a", "b"])
 

@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from neural_locality_sensitive_hashing_spark.config import DedupConfig
 from neural_locality_sensitive_hashing_spark.functions import text as T
-from neural_locality_sensitive_hashing_spark.functions.minhash import make_minhash_udf
+from neural_locality_sensitive_hashing_spark.functions.minhash import (
+    make_minhash_udf,
+    make_shingle_sig_udf,
+)
 from neural_locality_sensitive_hashing_spark.functions.simhash import simhash_udf
 from neural_locality_sensitive_hashing_spark.operators.candidates import (
     candidate_pairs,
@@ -54,6 +57,23 @@ def minhash_signatures(
     return shingled.withColumn("sig", udf(F.col("sh")))
 
 
+def signatures_fused(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs -> (doc_id, sh, sig) via the fused tokenize+shingle+MinHash UDF
+    — the hot-path variant (one Arrow round trip, no JVM garbage from
+    interpreted higher-order functions). Preferred by the pipeline; the
+    native shingle_set/minhash pair remains for composability and the
+    string-shingle driver queries."""
+    udf = make_shingle_sig_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("s")
+    ).select("doc_id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig"))
+
+
 def minhash_dup_pairs(
     docs: DataFrame,
     cfg: DedupConfig,
@@ -61,7 +81,7 @@ def minhash_dup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Full candidate-generation + verification -> (a, b, jaccard)."""
-    sigs = minhash_signatures(shingle_documents(docs, cfg, id_col, text_col), cfg)
+    sigs = signatures_fused(docs, cfg, id_col, text_col)
     # signatures are reused by banding AND the verify gather-join — cache once
     sigs = sigs.persist()
     bands = explode_bands(sigs, cfg)

@@ -37,10 +37,7 @@ from neural_locality_sensitive_hashing_spark.operators.connected_components impo
     clusters_with_singletons,
     connected_components,
 )
-from neural_locality_sensitive_hashing_spark.operators.dedup import (
-    minhash_signatures,
-    shingle_documents,
-)
+from neural_locality_sensitive_hashing_spark.operators.dedup import signatures_fused
 from neural_locality_sensitive_hashing_spark.operators.verify import jaccard_verify
 from neural_locality_sensitive_hashing_spark.sources.checkpoint import CheckpointCatalog
 
@@ -108,8 +105,7 @@ class DedupPipeline:
         cfg = self.cfg
 
         def compute_signatures() -> DataFrame:
-            sh = shingle_documents(pages, cfg)
-            sigs = minhash_signatures(sh, cfg)
+            sigs = signatures_fused(pages, cfg)
             return sigs.withColumn("simhash", simhash_udf(F.col("sh")))
 
         signatures = self._stage("signatures", compute_signatures, report)

@@ -424,6 +424,66 @@ GROUP BY label, dim_idx
 """
 
 
+EMB_DUP_TAU = 0.4  # synthetic embeddings are diffuse (max pairwise ~0.51)
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, small scale; the
+    LSH-bucketed scale path is `ann_lsh_cosine`/`learned_ann_cosine`)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    l = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    r = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    return (
+        l.crossJoin(r)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(S.cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= EMB_DUP_TAU)
+    )
+
+
+SQL_EMBEDDING_DUP_PAIRS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_dot_product(l.v, r.v)
+             / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+         AS cosine
+FROM e l JOIN e r ON l.vec_id < r.vec_id
+WHERE round(list_dot_product(l.v, r.v)
+            / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+      >= {EMB_DUP_TAU}
+"""
+
+# GPT2-style pretokenizer shape: word pieces OR single non-space symbols
+BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc (training-data costing)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), F.lit(0))
+        ).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                       x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_REGEX}')) AS bpe_tokens
+FROM documents
+"""
+
+
 # --- relational parity (TPC-H-ish) -------------------------------------------
 
 
@@ -542,6 +602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_profile": q_doc_profile,
     "lang_summary": q_lang_summary,
     "top_tokens": q_top_tokens,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "token_stats": q_token_stats,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "embedding_stats": q_embedding_stats,
@@ -564,6 +626,8 @@ ORACLES: dict[str, str] = {
     "doc_profile": SQL_DOC_PROFILE,
     "lang_summary": SQL_LANG_SUMMARY,
     "top_tokens": SQL_TOP_TOKENS,
+    "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "token_stats": SQL_TOKEN_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_stats": SQL_EMBEDDING_STATS,
     "label_centroids": SQL_LABEL_CENTROIDS,

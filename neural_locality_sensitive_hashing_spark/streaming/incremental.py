@@ -32,10 +32,7 @@ from neural_locality_sensitive_hashing_spark.operators.candidates import (
     candidate_pairs,
     explode_bands,
 )
-from neural_locality_sensitive_hashing_spark.operators.dedup import (
-    minhash_signatures,
-    shingle_documents,
-)
+from neural_locality_sensitive_hashing_spark.operators.dedup import signatures_fused
 from neural_locality_sensitive_hashing_spark.operators.verify import jaccard_verify
 
 PAGES_SCHEMA = (
@@ -59,7 +56,7 @@ class IncrementalDeduper:
 
     def process_batch(self, new_pages: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
-        new_sigs = minhash_signatures(shingle_documents(new_pages, cfg), cfg).persist()
+        new_sigs = signatures_fused(new_pages, cfg).persist()
 
         old = self._existing_sigs()
         all_sigs = new_sigs if old is None else new_sigs.unionByName(old)

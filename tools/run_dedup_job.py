@@ -28,6 +28,17 @@ def main() -> None:
         "inputs are many files and the default 128m applies)",
     )
     ap.add_argument("--with-simhash", action="store_true")
+    ap.add_argument(
+        "--fast", action="store_true",
+        help="skip per-stage count() actions: one end-to-end run (plus the "
+        "union-find's own convergence actions) — the throughput-measurement "
+        "mode; per-stage timings are omitted",
+    )
+    ap.add_argument(
+        "--repartition", type=int, default=0,
+        help="repartition the narrow (doc_id, text) projection to N "
+        "partitions before compute; 0 = 2x defaultParallelism",
+    )
     ap.add_argument("--with-longrepeat", action="store_true")
     args = ap.parse_args()
 
@@ -43,10 +54,7 @@ def main() -> None:
         clusters_with_singletons,
         connected_components,
     )
-    from neural_locality_sensitive_hashing_spark.operators.dedup import (
-        minhash_signatures,
-        shingle_documents,
-    )
+    from neural_locality_sensitive_hashing_spark.operators.dedup import signatures_fused
     from neural_locality_sensitive_hashing_spark.operators.suffix import long_repeat_pairs
     from neural_locality_sensitive_hashing_spark.operators.verify import (
         jaccard_verify,
@@ -71,24 +79,31 @@ def main() -> None:
 
     pages = spark.read.parquet(args.pages)
     n_docs = pages.count()
+    # balance the narrow projection across all cores regardless of the
+    # source file's row-group layout (one shuffle of just doc_id+text)
+    nparts = args.repartition or 2 * cores
+    pages = pages.select("doc_id", "text").repartition(nparts, "doc_id")
 
     stages: dict[str, float] = {}
     t_all = time.time()
 
     t0 = time.time()
-    sigs = minhash_signatures(shingle_documents(pages, cfg), cfg)
+    sigs = signatures_fused(pages, cfg)
     if args.with_simhash:
         from pyspark.sql import functions as F
 
         sigs = sigs.withColumn("simhash", simhash_udf(F.col("sh")))
     sigs = sigs.persist()
-    sigs.count()
-    stages["signatures"] = round(time.time() - t0, 2)
+    if not args.fast:
+        sigs.count()
+        stages["signatures"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     cands = candidate_pairs(explode_bands(sigs, cfg), cfg).persist()
-    n_cands = cands.count()
-    stages["cand_pairs"] = round(time.time() - t0, 2)
+    n_cands = -1
+    if not args.fast:
+        n_cands = cands.count()
+        stages["cand_pairs"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     dups = jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
@@ -105,8 +120,10 @@ def main() -> None:
         lr = long_repeat_pairs(pages, cfg).select("a", "b", F.lit(1.0).alias("jaccard"))
         dups = dups.unionByName(lr).dropDuplicates(["a", "b"])
     dups = dups.persist()
-    n_dups = dups.count()
-    stages["verify"] = round(time.time() - t0, 2)
+    n_dups = -1
+    if not args.fast:
+        n_dups = dups.count()
+        stages["verify"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     labels = connected_components(dups, cfg.max_cc_iterations)
