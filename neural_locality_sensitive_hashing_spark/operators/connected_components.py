@@ -29,10 +29,10 @@ def connected_components(
     Only nodes that appear in at least one pair are returned; singletons
     are each their own cluster and are added by the caller when needed.
     """
+    # with a<b in pairs the two directed copies are disjoint — no dedup
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .dropDuplicates(["src", "dst"])
         .localCheckpoint()
     )
     labels = (
@@ -42,26 +42,26 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # min-propagation labels are monotone non-increasing, so the label sum
+    # strictly decreases until the fixpoint: convergence = unchanged sum.
+    # One cheap agg job per round over checkpointed blocks — no join, no
+    # second shuffle (the fixpoint loop's serial barriers are the scaling
+    # floor of the whole pipeline, so every per-round job counts).
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_iterations):
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
