@@ -407,6 +407,63 @@ FROM embeddings
 """
 
 
+def q_embedding_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (reference nlsh/data.py:9-10,35-37): project vectors onto the unit
+    sphere; exploded to (vec_id, dim_idx, val) for value comparison."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = S.l2_norm(v)
+    return emb.select(
+        "vec_id", F.posexplode(v).alias("dim_idx", "raw")
+    ).join(
+        emb.select("vec_id", norm.alias("n")), "vec_id"
+    ).select(
+        "vec_id", "dim_idx", F.round(F.col("raw") / F.col("n"), 6).alias("val")
+    )
+
+
+SQL_EMBEDDING_L2_NORMALIZED = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+)
+SELECT vec_id, t.i - 1 AS dim_idx, round(v[t.i] / n, 6) AS val
+FROM e CROSS JOIN (SELECT generate_series AS i FROM generate_series(1, 64)) t
+WHERE t.i <= len(v)
+"""
+
+
+def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (reference nlsh/data.py:29-33): per-dimension z-score with
+    corpus moments — (x - mean_dim) / std_dim, sample stddev."""
+    emb = load(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim_idx", "raw")
+    ).select("vec_id", "dim_idx", F.col("raw").cast("double").alias("raw"))
+    w = Window.partitionBy("dim_idx")
+    return vals.select(
+        "vec_id",
+        "dim_idx",
+        F.round(
+            (F.col("raw") - F.mean("raw").over(w)) / F.stddev_samp("raw").over(w), 6
+        ).alias("val"),
+    )
+
+
+SQL_EMBEDDING_ZSCORE = """
+WITH vals AS (
+  SELECT vec_id, t.i - 1 AS dim_idx, embedding[t.i]::DOUBLE AS raw
+  FROM embeddings CROSS JOIN (SELECT generate_series AS i FROM generate_series(1, 64)) t
+  WHERE t.i <= len(embedding)
+)
+SELECT vec_id, dim_idx,
+       round((raw - avg(raw) OVER (PARTITION BY dim_idx))
+             / stddev_samp(raw) OVER (PARTITION BY dim_idx), 6) AS val
+FROM vals
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return (
@@ -608,6 +665,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "embedding_stats": q_embedding_stats,
     "label_centroids": q_label_centroids,
+    "embedding_l2_normalized": q_embedding_l2_normalized,
+    "embedding_zscore": q_embedding_zscore,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "event_type_hourly": q_event_type_hourly,
@@ -631,6 +690,8 @@ ORACLES: dict[str, str] = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_stats": SQL_EMBEDDING_STATS,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "embedding_l2_normalized": SQL_EMBEDDING_L2_NORMALIZED,
+    "embedding_zscore": SQL_EMBEDDING_ZSCORE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customers": SQL_TOP_CUSTOMERS,
     "event_type_hourly": SQL_EVENT_TYPE_HOURLY,
