@@ -42,6 +42,11 @@ class DedupConfig:
     # consecutive pairs instead of all O(n^2) pairs (connectivity-preserving)
     bucket_pair_cap: int = 256
 
+    # candidate physical strategy: "grouped" = one hash-agg exchange with
+    # native pair emission (default); "windowed" = round-1 rank + self-join
+    # (bounded per-row memory for degenerate buckets, one extra exchange)
+    pair_strategy: str = "grouped"
+
     # connected components
     max_cc_iterations: int = 50
 

@@ -1,16 +1,36 @@
-"""LSH banding + bucket self-join candidate-pair generation with skew control.
+"""LSH banding + bucket-grouped candidate-pair generation with skew control.
 
 This is the Spark realization of the reference's inverted index + probe
 (``nlsh/indexer.py:6-96``): the bucket→rows dict is never materialized —
-a self-equi-join on (band, bucket) *is* the index probe (SURVEY.md §2.3 J2).
+grouping on (band, bucket) *is* the index probe (SURVEY.md §2.3 J2).
 
 Skew: the reference *trains* bucket balance into its hash function
 (``nlsh/trainers/proposed.py:101-118``) and monitors size dispersion
 (``nlsh/trainers/base.py:87-90``). At Spark scale, boilerplate pages create
 mega-buckets where the all-pairs self-join is O(n²); buckets larger than
-``bucket_pair_cap`` instead emit a sorted *chain + stride* of pairs —
+``bucket_pair_cap`` instead emit a sorted *chain + binary-tree* of pairs —
 connectivity-preserving for union-find (every member still links to the
-component) at O(n) pairs — and the drop is logged, never silent.
+component) at O(n) pairs and O(log n) component diameter — and the drop is
+observable via ``bucket_stats``, never silent.
+
+Two physical strategies (``DedupConfig.pair_strategy``):
+
+``grouped`` (default) — ONE hash-partitioned exchange:
+    groupBy(band, bucket) -> sorted member array -> emit pairs natively
+    (all-pairs / chain+tree as array expressions) -> explode.
+    No sort, no join, no persist; the only per-row memory bound is the
+    largest bucket's member array (8 B/doc — a 10^7-member boilerplate
+    bucket is an 80 MB row; at 10^12-doc scale one would bound it further
+    with a two-level salt-chain: chain within (bucket, salt) shards, then
+    chain the shard minima — same connectivity, rows capped at
+    bucket_size/n_salt). Replaces the round-1 windowed plan after it
+    measured as the worst-scaling stage (window sort + self-join = two
+    exchanges + a sort vs one agg exchange).
+
+``windowed`` — the round-1 plan (window rank + self-join). Bounded per-row
+    memory (streaming window), at the cost of an extra exchange + sort and
+    three rank joins for over-cap buckets. Keep for environments where a
+    single degenerate bucket exceeds task memory.
 """
 
 from __future__ import annotations
@@ -48,26 +68,85 @@ def explode_bands(
     )
 
 
+def _all_pairs(ids: Column, s: Column) -> Column:
+    """Sorted member array -> array<struct<a,b>> of all C(s,2) pairs, a<b."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), s - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, s - i),
+                lambda x: F.struct(
+                    F.element_at(ids, i).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )
+
+
+def _chain_tree_pairs(ids: Column, s: Column) -> Column:
+    """Sorted member array -> O(s) connectivity-preserving pairs:
+    chain (i, i+1) keeps locally-adjacent (most-likely-to-verify) pairs;
+    tree (i//2, i) caps the component diameter at O(log s) so union-find
+    converges in logarithmically many rounds even for a mega-bucket (a
+    chain alone would need O(s) label-propagation rounds — fatal at 10^12
+    docs). Identical pair set to the round-1 rank-join construction."""
+    chain = F.zip_with(
+        F.slice(ids, 1, s - 1),
+        F.slice(ids, 2, s - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    tree = F.transform(
+        F.sequence(F.lit(2), s),
+        lambda i: F.struct(
+            F.element_at(ids, F.floor(i / 2).cast("int")).alias("a"),
+            F.element_at(ids, i).alias("b"),
+        ),
+    )
+    return F.concat(chain, tree)
+
+
 def candidate_pairs(
     bands: DataFrame,
     cfg: DedupConfig,
 ) -> DataFrame:
-    """(doc_id, band, bucket) -> distinct candidate (a, b) with a < b.
+    """(doc_id, band, bucket) -> distinct candidate (a, b) with a < b."""
+    if cfg.pair_strategy == "windowed":
+        return _candidate_pairs_windowed(bands, cfg)
+    return _candidate_pairs_grouped(bands, cfg)
 
-    Normal buckets: all-pairs self-join (AQE skew-join splits stragglers).
-    Oversized buckets (> cfg.bucket_pair_cap members): sorted chain
-    (i, i+1) plus binary-tree parent links (i, i//2) — O(n) pairs total.
-    The chain keeps locally-adjacent (most-likely-to-verify) pairs; the
-    tree caps the component diameter at O(log n) so the union-find
-    fixpoint converges in logarithmically many rounds even for a
-    boilerplate mega-bucket with millions of members (a chain alone would
-    need O(n) label-propagation rounds — fatal at 10^12 docs). Dropped
-    pair counts per bucket are derivable from `bucket_stats`.
+
+def _candidate_pairs_grouped(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One exchange: hash-agg to sorted member arrays, emit pairs natively.
+
+    CASE branches are evaluated lazily per row, so a mega-bucket never
+    materializes its O(s²) all-pairs array — only the O(s) chain+tree.
     """
     cap = cfg.bucket_pair_cap
+    if cfg.candidate_partitions:
+        bands = bands.repartition(cfg.candidate_partitions, "band", "bucket")
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    s = F.size(ids)
+    pairs_arr = F.when(s <= cap, _all_pairs(ids, s)).otherwise(_chain_tree_pairs(ids, s))
+    return (
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _candidate_pairs_windowed(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Round-1 strategy: window size-tag + rank, self-join for small
+    buckets, rank-joins for the chain+tree of over-cap buckets. Bounded
+    per-row memory; two exchanges + a sort. Emits the same pair set as the
+    grouped strategy (verified in tests/test_candidates.py)."""
+    cap = cfg.bucket_pair_cap
     nparts = cfg.candidate_partitions
-    # one exchange on (band, bucket) feeds both the size tag and the rank —
-    # cheaper than a groupBy-count + join-back (two shuffles of the bands)
+    # one exchange on (band, bucket) feeds both the size tag and the rank
     w = Window.partitionBy("band", "bucket")
     tagged = bands.select(
         "band",
@@ -117,6 +196,31 @@ def candidate_pairs(
     )
 
     return pairs_small.unionByName(pairs_big).dropDuplicates(["a", "b"])
+
+
+def candidate_pairs_two_sided(
+    left_bands: DataFrame,
+    right_bands: DataFrame,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """left×right candidate pairs: (a, b) with a < b, a from either side.
+
+    The streaming increment's new×all probe (and any query-vs-corpus J1
+    join): an equi-join on (band, bucket) between two band tables — never
+    the all-accumulated self-join. Skew on the right (corpus) side is
+    handled by AQE skew-join; output is already id-ordered + distinct.
+    """
+    l = left_bands.select("band", "bucket", F.col("doc_id").alias("l_id"))
+    r = right_bands.select("band", "bucket", F.col("doc_id").alias("r_id"))
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l_id") != F.col("r_id"))
+        .select(
+            F.least("l_id", "r_id").alias("a"),
+            F.greatest("l_id", "r_id").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def bucket_stats(bands: DataFrame) -> DataFrame:

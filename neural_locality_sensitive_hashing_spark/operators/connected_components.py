@@ -28,6 +28,13 @@ def connected_components(
 
     Only nodes that appear in at least one pair are returned; singletons
     are each their own cluster and are added by the caller when needed.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` (component diameter too large for the budget) —
+    returning non-converged labels would silently mislabel clusters.
+    Candidate generation caps diameters at O(log n) via the chain+tree
+    construction (operators/candidates.py), so the default budget covers
+    components up to ~2^49 members.
     """
     # with a<b in pairs the two directed copies are disjoint — no dedup
     edges = (
@@ -46,8 +53,13 @@ def connected_components(
     # strictly decreases until the fixpoint: convergence = unchanged sum.
     # One cheap agg job per round over checkpointed blocks — no join, no
     # second shuffle (the fixpoint loop's serial barriers are the scaling
-    # floor of the whole pipeline, so every per-round job counts).
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    # floor of the whole pipeline, so every per-round job counts). The sum
+    # runs in decimal(38,0): exact and overflow-free even at 10^12 docs
+    # with 10^12-scale ids (int64 would overflow ~10^5 such labels and
+    # throw under ANSI mode).
+    label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).first()[0]
+    converged = False
     for _ in range(max_iterations):
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
@@ -58,10 +70,17 @@ def connected_components(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        cur_sum = labels.agg(label_sum).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — component diameter exceeds the budget; raise "
+            "max_cc_iterations or check candidate diameter capping"
+        )
     return labels
 
 

@@ -86,3 +86,30 @@ def test_bucket_stats(spark):
     stats = {r.band: r for r in bucket_stats(explode_bands(df, CFG)).collect()}
     assert stats[0].n_buckets == 1 and stats[0].max_bucket == 5
     assert stats[0].pair_mass == 10
+
+
+def test_grouped_equals_windowed_strategy(spark):
+    """The grouped (1-exchange) and windowed (round-1) physical strategies
+    emit the identical pair set, over-cap chain+tree included."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    sig_dup = [1, 1, 2, 2, 3, 3, 4, 4]
+    for i in range(30):  # over-cap bucket (cap 4)
+        rows.append((i, sig_dup))
+    for i in range(40):  # sparse random sigs -> small buckets
+        rows.append((100 + i, [int(x) for x in rng.integers(0, 6, 8)]))
+    df = spark.createDataFrame(rows, "doc_id long, sig array<long>")
+    bands = explode_bands(df, CFG)
+    g = candidate_pairs(bands, CFG)
+    w = candidate_pairs(
+        bands,
+        DedupConfig(
+            num_perm=8, num_bands=4, rows_per_band=2, bucket_pair_cap=4,
+            pair_strategy="windowed",
+        ),
+    )
+    got_g = {(r.a, r.b) for r in g.collect()}
+    got_w = {(r.a, r.b) for r in w.collect()}
+    assert got_g == got_w and len(got_g) > 0

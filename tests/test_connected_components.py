@@ -36,3 +36,24 @@ def test_diamond_and_cross_edges(spark):
     labels = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert labels[5] == labels[9] == labels[3] == 3
     assert labels[100] == labels[50] == labels[75] == 50
+
+
+def test_nonconvergence_raises(spark):
+    """Exhausting the iteration budget must fail loudly, not return
+    silently-wrong labels (a long chain with a tiny budget)."""
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(20)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2)
+
+
+def test_label_sum_exact_at_huge_ids(spark):
+    """Convergence metric is exact for ids at the 10^12-doc design scale
+    (decimal sum — an int64 sum would overflow under ANSI mode)."""
+    base = 10**18 // 2
+    pairs = spark.createDataFrame(
+        [(base + i, base + i + 1) for i in range(8)], "a long, b long"
+    )
+    labels = connected_components(pairs).collect()
+    assert all(r.cluster_id == base for r in labels)
