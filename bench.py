@@ -30,7 +30,10 @@ HEADLINE = [
     "token_stats",
     "top_tokens",
     "knn_bruteforce",
+    "knn_bruteforce_l2",
     "ann_lsh_cosine",
+    "ann_lsh_l2",
+    "ann_recall_at_k",
     "learned_ann_cosine",
     "embedding_dup_pairs",
     "pricing_summary",

@@ -38,10 +38,20 @@ def fit_partitioner_on_sample(
 ) -> dict[str, np.ndarray]:
     """Driver-side training scan: sample embeddings, fit numpy partitioner.
     The only cluster work is the sampling scan (SURVEY §3 E1 re-expression:
-    'no cluster boundary crossings during training')."""
-    sample = (
-        df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(sample_rows).collect()
-    )
+    'no cluster boundary crossings during training').
+
+    The sample is a seeded Bernoulli `sample()` over every partition —
+    a bare `.limit(n)` would take the first partitions only, training the
+    partitioner on one shard's distribution (biased under clustered
+    layouts). The fraction is derived from a cheap count of the non-null
+    vector column (metadata-only scan at parquet sources)."""
+    vecs = df.select(vec_col).where(F.col(vec_col).isNotNull())
+    n = vecs.count()
+    if n > sample_rows:
+        # oversample 2x so the post-sample limit() almost never undershoots
+        frac = min(1.0, 2.0 * sample_rows / n)
+        vecs = vecs.sample(fraction=frac, seed=seed)
+    sample = vecs.limit(sample_rows).collect()
     x = np.array([list(r[0]) for r in sample], dtype=np.float64)
     return train_partitioner(x, n_bits=n_bits, seed=seed)
 

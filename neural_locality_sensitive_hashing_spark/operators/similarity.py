@@ -1,18 +1,32 @@
-"""Vector similarity search over an embedding column.
+"""Vector similarity search over an embedding column (cosine AND L2).
 
 This is the reference's actual query path (hash query → probe buckets →
 exact distance → top-k, ``nlsh/indexer.py:56-96``) in DataFrame form:
 
-- ``knn_bruteforce``: the exact baseline (reference's ``precompute.py:57-67``
-  ground-truth pattern) — crossJoin + native cosine + ranking window.
-  Small/test scale only; at 100 TB the LSH path below replaces it.
+- ``knn_bruteforce`` / ``knn_bruteforce_l2``: the exact baselines
+  (reference's ``precompute.py:57-67`` ground-truth pattern) — crossJoin +
+  native distance + ranking window. Small/test scale only; at 100 TB the
+  LSH paths below replace them. L2 serves the reference's SIFT-euclidean
+  datasets (``nlsh/data.py:112-201``); cosine serves GloVe-angular.
 - ``hyperplane_codes`` + ``ann_lsh``: signed-random-projection LSH — the
   reference's learned encoder (``nlsh/hashings.py:66-92``) degenerates to
   random hyperplanes when untrained; banding the code bits gives the same
   multi-probe recall knob (``eval.py:148-196``) as a (bands × bits) split.
+  Queries may probe ``n_probes`` codes per band (flip the lowest-|margin|
+  bits — the deterministic analogue of the reference's Bernoulli probe
+  sampling, ``nlsh/hashings.py:77-83``).
+- ``ann_lsh_l2``: E2LSH (p-stable) bucketing — bucket = floor((x·v + b)/w)
+  per projection, r projections concatenated per band — for Euclidean
+  neighbors.
+- ``embedding_dup_pairs``: embedding-cosine near-duplicate PAIRS (the J2
+  self-join flavor): LSH-bucketed candidates + exact-cosine verify by
+  default; an explicitly size-gated broadcast-matmul fast path for small
+  dimension tables (never a driver ``collect`` in the default plan).
 
-All distance math is native Catalyst (`zip_with`/`aggregate` — JVM-side);
-only the bit-packing of projection signs is a vectorized pandas UDF.
+Shuffle discipline: band explodes carry (id, band, bucket) ONLY — vectors
+are gathered back by a join AFTER candidate pairs are deduped (the J3
+gather pattern), so the wide embedding column never rides the band
+explosion. Distance re-rank math runs in a vectorized Arrow kernel.
 """
 
 from __future__ import annotations
@@ -22,7 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -40,8 +54,40 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_distance(a: Column, b: Column) -> Column:
+    """Native Euclidean distance ‖a − b‖₂ (K9 — reference
+    ``nlsh/data.py:176-201``; serves non-normalized vector corpora)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
+
+
+@pandas_udf(DoubleType())
+def _cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Vectorized exact cosine for the pair re-rank (Arrow batch: one
+    row-wise multiply-sum over two stacked matrices)."""
+    out = np.full(len(va), np.nan)
+    ok = [i for i in range(len(va)) if va.iloc[i] is not None and vb.iloc[i] is not None]
+    if ok:
+        a = np.stack([np.asarray(va.iloc[i], dtype=np.float64) for i in ok])
+        b = np.stack([np.asarray(vb.iloc[i], dtype=np.float64) for i in ok])
+        num = (a * b).sum(axis=1)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        out[ok] = num / np.maximum(den, 1e-300)
+    return pd.Series(out)
+
+
+def _rank_topk(sim: DataFrame, k: int, order: Column) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
+    return sim.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
 
 
 def knn_bruteforce(
@@ -72,8 +118,40 @@ def knn_bruteforce(
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return sim.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+    return _rank_topk(sim, k, F.desc("cosine"))
+
+
+def knn_bruteforce_l2(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k EUCLIDEAN neighbors -> (query_id, neighbor_id, dist, rank).
+    The reference's SIFT-euclidean ground-truth path (K9)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2_distance(F.col("qv"), F.col("cv")), 6).alias("dist"),
+        )
+    )
+    return _rank_topk(sim, k, F.asc("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane (cosine) LSH
+# ---------------------------------------------------------------------------
 
 
 def hyperplane_params(dim: int, num_bands: int, bits_per_band: int, seed: int) -> np.ndarray:
@@ -82,13 +160,19 @@ def hyperplane_params(dim: int, num_bands: int, bits_per_band: int, seed: int) -
     return rng.standard_normal((num_bands * bits_per_band, dim))
 
 
-def make_hyperplane_udf(planes: np.ndarray, num_bands: int, bits_per_band: int):
+def make_hyperplane_udf(
+    planes: np.ndarray, num_bands: int, bits_per_band: int, n_probes: int = 1
+):
     """pandas_udf: array<float> embedding -> array<bigint> band bucket codes.
 
     Batch kernel: one (batch, dim) x (dim, nbits) matmul, sign, MSB-first
     bit-pack per band (the reference's bit-pack semantics,
     ``nlsh/utils.pyx:7-15``), then mix the band index in so bands don't
-    collide with each other.
+    collide with each other. With ``n_probes`` > 1, each band also emits
+    codes with its 1..n_probes-1 lowest-|projection| bits flipped one at a
+    time — the deterministic counterpart of the reference's sampled probes
+    (``nlsh/hashings.py:77-83``): low |margin| = least-confident sign.
+    Output length is num_bands * n_probes; band index = position // n_probes.
     """
     p = planes.T.copy()  # (dim, nbits)
     weights = (1 << np.arange(bits_per_band - 1, -1, -1, dtype=np.int64))  # MSB-first
@@ -99,15 +183,67 @@ def make_hyperplane_udf(planes: np.ndarray, num_bands: int, bits_per_band: int):
         ok = [i for i, v in enumerate(vecs) if v is not None]
         if ok:
             m = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
-            bits = (m @ p > 0).astype(np.int64)  # (n, nbits)
+            proj = m @ p  # (n, nbits)
+            bits = (proj > 0).astype(np.int64)
             bands = bits.reshape(len(ok), num_bands, bits_per_band)
             packed = (bands * weights).sum(axis=2)  # (n, num_bands)
-            mixed = packed + (np.arange(num_bands, dtype=np.int64) << np.int64(32))
-            for j, i in enumerate(ok):
-                out[i] = mixed[j]
+            band_mix = np.arange(num_bands, dtype=np.int64) << np.int64(32)
+            base = packed + band_mix
+            if n_probes <= 1:
+                for j, i in enumerate(ok):
+                    out[i] = base[j]
+            else:
+                margins = np.abs(proj).reshape(len(ok), num_bands, bits_per_band)
+                # per band: bit positions sorted by ascending |margin|
+                flip_order = margins.argsort(axis=2)  # (n, bands, bits)
+                probes = np.empty((len(ok), num_bands, n_probes), dtype=np.int64)
+                probes[:, :, 0] = base
+                for pr in range(1, n_probes):
+                    bitpos = bits_per_band - 1 - flip_order[:, :, pr - 1]
+                    probes[:, :, pr] = base ^ (np.int64(1) << bitpos)
+                flat = probes.reshape(len(ok), num_bands * n_probes)
+                for j, i in enumerate(ok):
+                    out[i] = flat[j]
         return pd.Series(out)
 
     return codes
+
+
+def _explode_codes(df: DataFrame, name: str, udf, id_col: str, vec_col: str) -> DataFrame:
+    """Narrow (id, bucket) band explosion — the vector column is NOT
+    carried through the explode/shuffle (gathered back post-dedup)."""
+    return df.select(
+        F.col(id_col).alias(name),
+        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    )
+
+
+def ann_lsh_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    num_bands: int = 8,
+    bits_per_band: int = 8,
+    n_probes: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deduped (query_id, neighbor_id) candidate pairs from the hyperplane
+    bucket join — exposed separately so the probe sweep can measure the
+    recall-vs-candidate-count curve (the reference's tuning artifact,
+    ``eval.py:148-196``)."""
+    planes = hyperplane_params(dim, num_bands, bits_per_band, seed)
+    corpus_udf = make_hyperplane_udf(planes, num_bands, bits_per_band, n_probes=1)
+    query_udf = make_hyperplane_udf(planes, num_bands, bits_per_band, n_probes=n_probes)
+
+    qc = _explode_codes(queries, "query_id", query_udf, id_col, vec_col)
+    cc = _explode_codes(corpus, "neighbor_id", corpus_udf, id_col, vec_col)
+    return (
+        qc.join(cc, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
 
 
 def ann_lsh(
@@ -117,39 +253,221 @@ def ann_lsh(
     k: int = 10,
     num_bands: int = 8,
     bits_per_band: int = 8,
+    n_probes: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k cosine via hyperplane-LSH bucket join.
 
-    corpus codes explode to (neighbor_id, band, bucket); queries likewise;
-    equi-join on (band, bucket) replaces the crossJoin — the same J1 bucket
-    join as the reference's index probe. Exact cosine re-ranks candidates.
-    """
-    planes = hyperplane_params(dim, num_bands, bits_per_band, seed)
-    udf = make_hyperplane_udf(planes, num_bands, bits_per_band)
-
-    def with_codes(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(name),
-            _as_double(F.col(vec_col)).alias(f"{name}_v"),
-            F.posexplode(udf(F.col(vec_col))).alias("band", "bucket"),
+    (id, bucket) explosions equi-join on bucket (band index is mixed into
+    the bucket value) — the same J1 bucket join as the reference's index
+    probe. Pairs dedup BEFORE the vectors are gathered back (J3), then a
+    vectorized exact-cosine kernel re-ranks. ``n_probes`` widens the query
+    probe set per band (recall knob at constant index)."""
+    cand = ann_lsh_candidates(
+        queries, corpus, dim, num_bands, bits_per_band, n_probes, seed, id_col, vec_col
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_udf(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
+    )
+    return _rank_topk(sim, k, F.desc("cosine"))
 
-    qc = with_codes(queries, "query_id")
-    cc = with_codes(corpus, "neighbor_id")
+
+# ---------------------------------------------------------------------------
+# E2LSH (Euclidean, p-stable projections)
+# ---------------------------------------------------------------------------
+
+
+def e2lsh_params(
+    dim: int, num_bands: int, rows_per_band: int, bucket_width: float, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gaussian projections + uniform offsets for floor((x·v + b)/w)."""
+    rng = np.random.default_rng(seed)
+    n = num_bands * rows_per_band
+    v = rng.standard_normal((n, dim))
+    b = rng.uniform(0.0, bucket_width, size=n)
+    return v, b
+
+
+def make_e2lsh_udf(
+    v: np.ndarray, b: np.ndarray, num_bands: int, rows_per_band: int, bucket_width: float
+):
+    """pandas_udf: embedding -> array<bigint> per-band bucket ids.
+
+    Per band, the r quantized projections q_i = floor((x·v_i + b_i)/w) are
+    combined positionally: bucket = (band << 32) + c_0·65536 + c_1 with
+    c_i = q_i mod 65536 (non-negative). The mod only merges buckets 65536
+    widths apart (false candidates removed by the exact re-rank); keeping
+    the combine to plain integer arithmetic makes the banding replayable
+    in the DuckDB oracle. rows_per_band is capped at 2 to fit the
+    positional pack below the band tag."""
+    if rows_per_band > 2:
+        raise ValueError("e2lsh positional pack supports rows_per_band <= 2")
+    vt = v.T.copy()
+
+    @pandas_udf(ArrayType(LongType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=object)
+        ok = [i for i, x in enumerate(vecs) if x is not None]
+        if ok:
+            m = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
+            q = np.floor((m @ vt + b) / bucket_width).astype(np.int64)  # (n, bands*r)
+            c = np.mod(q, 65536)  # non-negative (numpy mod follows divisor)
+            cb = c.reshape(len(ok), num_bands, rows_per_band)
+            band_tag = np.arange(num_bands, dtype=np.int64) << np.int64(32)
+            if rows_per_band == 2:
+                bucket = band_tag + cb[:, :, 0] * 65536 + cb[:, :, 1]
+            else:
+                bucket = band_tag + cb[:, :, 0]
+            for j, i in enumerate(ok):
+                out[i] = bucket[j]
+        return pd.Series(out)
+
+    return codes
+
+
+@pandas_udf(DoubleType())
+def _l2_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    out = np.full(len(va), np.nan)
+    ok = [i for i in range(len(va)) if va.iloc[i] is not None and vb.iloc[i] is not None]
+    if ok:
+        a = np.stack([np.asarray(va.iloc[i], dtype=np.float64) for i in ok])
+        b = np.stack([np.asarray(vb.iloc[i], dtype=np.float64) for i in ok])
+        out[ok] = np.linalg.norm(a - b, axis=1)
+    return pd.Series(out)
+
+
+def ann_lsh_l2(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_bands: int = 16,
+    rows_per_band: int = 2,
+    bucket_width: float = 4.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k Euclidean neighbors via E2LSH bucket join; exact
+    L2 re-rank (vectorized kernel) after pair dedup."""
+    v, b = e2lsh_params(dim, num_bands, rows_per_band, bucket_width, seed)
+    udf = make_e2lsh_udf(v, b, num_bands, rows_per_band, bucket_width)
+
+    qc = _explode_codes(queries, "query_id", udf, id_col, vec_col)
+    cc = _explode_codes(corpus, "neighbor_id", udf, id_col, vec_col)
     cand = (
-        qc.join(cc, ["band", "bucket"])
+        qc.join(cc, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity(F.col("query_id_v"), F.col("neighbor_id_v")), 6).alias(
-            "cosine"
-        ),
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2_udf(F.col("qv"), F.col("cv")), 6).alias("dist"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return sim.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+    return _rank_topk(sim, k, F.asc("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate pairs (J2 self-join flavor)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    tau: float,
+    dim: int,
+    num_bands: int = 64,
+    bits_per_band: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= tau via hyperplane-LSH self-join + exact
+    verify. The default 100 TB plan: no driver collect, no crossJoin.
+
+    Banding math: a pair at cosine s collides in a band of r bits with
+    probability (1 − θ/π)^r, θ = arccos(s). The default (64 bands × 2
+    bits) keeps the miss probability below 1e-7 down to tau = 0.4 —
+    chosen so the LSH output EQUALS the exact-threshold oracle at test
+    scale. Higher taus tolerate far fewer/wider bands; tune per corpus.
+    """
+    planes = hyperplane_params(dim, num_bands, bits_per_band, seed)
+    udf = make_hyperplane_udf(planes, num_bands, bits_per_band, n_probes=1)
+
+    ec = emb.select(F.col(id_col).alias("doc_id"), F.explode(udf(F.col(vec_col))).alias("bucket"))
+    cand = (
+        ec.alias("l")
+        .join(ec.alias("r"), "bucket")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(_cosine_udf(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= tau)
+    )
+
+
+def embedding_dup_pairs_broadcast(
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    small_side_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Size-gated broadcast-matmul fast path for SMALL dimension tables:
+    the table is collected once to the driver (gate-checked), broadcast as
+    one L2-normalized matrix, and each Arrow batch does a single
+    (batch × dim) @ (dim × N) matmul; pair emission is a whole-matrix
+    ``np.nonzero`` (no per-row Python loop). Raises if the gate trips —
+    the LSH plan above is the large-table path."""
+    spark = emb.sparkSession
+    n = emb.count()
+    if n > small_side_max_rows:
+        raise ValueError(
+            f"broadcast path gated at {small_side_max_rows} rows, got {n}; "
+            "use embedding_dup_pairs_lsh"
+        )
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(m)
+
+    def gen(batches):
+        cids = b_ids.value
+        cm = b_m.value
+        for pdf in batches:
+            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = np.round(x @ cm.T, 6)
+            mask = (sims >= tau) & (cids[None, :] > vids[:, None])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"a": vids[ii], "b": cids[jj], "cosine": sims[ii, jj]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, "a long, b long, cosine double")

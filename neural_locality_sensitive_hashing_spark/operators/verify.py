@@ -1,9 +1,15 @@
 """Exact verification of candidate pairs — the reference's "true distance"
 pass (``nlsh/indexer.py:84-91``: gather candidates, exact distance, top-k)
-re-expressed as a join back to the shingle sets + a native set-Jaccard.
+re-expressed as a gather-join back to the shingle sets + a Jaccard kernel.
 
-All verification math is JVM-side (`array_intersect` / `array_union` /
-`bit_count`) inside whole-stage codegen; no Python in the verify path.
+The Jaccard itself runs as an Arrow-batched numpy merge-intersection
+(``_jaccard_udf``): it replaced the native ``array_intersect`` /
+``array_union`` expressions after measurement showed the JVM
+implementations allocate a hash set + two result arrays per row, stalling
+the shared local heap at high thread counts (see the UDF docstring for
+numbers). The native expressions remain available through
+``functions.text``/SQL for composability; SimHash verification stays fully
+native (``bit_count(a ^ b)``).
 """
 
 from __future__ import annotations

@@ -126,6 +126,26 @@ class DedupPipeline:
             return clusters_with_singletons(labels, signatures, "doc_id")
 
         clusters = self._stage("clusters", compute_clusters, report)
+
+        # S8 metrics sink: one quality/efficiency row set per run, next to
+        # the per-partition lineage (the reference logs recall/query_size/
+        # bucket stats every eval — nlsh/trainers/base.py:87-108)
+        agg = dups.agg(
+            F.count("*").alias("n_pairs"), F.avg("jaccard").alias("avg_j")
+        ).first()
+        n_docs = signatures.count()
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        self.catalog.write_metrics(
+            {
+                "n_docs": float(n_docs),
+                "dup_pairs": float(agg["n_pairs"]),
+                "avg_jaccard": float(agg["avg_j"] or 0.0),
+                "n_clusters": float(n_clusters),
+                "candidate_pairs": float(cands.count()),
+                "wall_sec": round(sum(s.wall_sec for s in report.stages), 3),
+            },
+            run_id=self._fps["clusters"],
+        )
         return clusters, report
 
     # -- resume helpers -------------------------------------------------------

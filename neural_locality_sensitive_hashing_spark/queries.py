@@ -13,9 +13,12 @@ Tokenization contract shared by Spark and SQL oracles:
 
 from __future__ import annotations
 
+import functools
+import operator as _op
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neural_locality_sensitive_hashing_spark.config import DedupConfig
@@ -78,6 +81,20 @@ jac AS (
 _SQL_EXACT_PAIRS = "WITH " + _SQL_EXACT_PAIRS_BODY
 
 
+# --- shared 60-bit hash contract (Spark `conv(md5)` == DuckDB hex cast) ------
+
+
+def _h60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — the one hash both
+    Spark and DuckDB compute bit-identically (xxhash64 has no DuckDB
+    counterpart, so every oracle-checked hash-kernel query uses this)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sql_h60(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", T.shingle_set(F.col("text"), CFG.shingle_k).alias("sh"))
@@ -111,13 +128,16 @@ def _spark_exact_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float) -> 
 
 
 def q_exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate clusters keyed on a 128-bit fingerprint: the window
+    exchange carries md5(text), never the document text itself (at 100 TB
+    the text-keyed variant would shuffle the whole corpus)."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("text")
+    w = Window.partitionBy(F.md5("text"))
     return docs.select("doc_id", F.min("doc_id").over(w).alias("cluster_id"))
 
 
 SQL_EXACT_DEDUP_CLUSTERS = """
-SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id FROM documents
+SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id FROM documents
 """
 
 
@@ -184,11 +204,109 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
 """
 
 
+SIMHASH_BITS_SQL = 60  # 60 bits = what the shared md5 hash contract yields
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 pairs share >=1 of 4 exact chunks
+SIMHASH_HAMMING_MAX = 3
+
+
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball pairs — not SQL-expressible (xxhash64 kernel);
-    driver records the weaker rows-only check."""
+    """SimHash Hamming-ball near-dup pairs, fully native Catalyst AND
+    SQL-mirrorable: 60-bit code from md5'd shingles (the shared _h60
+    contract), 4x15-bit pigeonhole banding, bit_count(xor) verify.
+
+    The engine's hot-path variant (xxhash64 Arrow kernel, 64-bit —
+    functions/simhash.py, operators/dedup.py:simhash_dup_pairs) computes
+    the same semantics faster; this named query trades the kernel for a
+    DuckDB-checkable hash so the driver can value-verify the whole pipeline.
+    """
     docs = load(spark, sf_dir, "documents")
-    return simhash_dup_pairs(docs, CFG).select("a", "b", "hamming")
+    gs = F.array_distinct(T.shingles(T.tokens(F.col("text")), CFG.shingle_k))
+    g = docs.select("doc_id", F.explode(gs).alias("g")).select(
+        "doc_id", _h60(F.col("g")).alias("h")
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS_SQL)
+    ]
+    bits = g.groupBy("doc_id").agg(*sums)
+    code = functools.reduce(
+        _op.add,
+        [
+            F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS_SQL)
+        ],
+    )
+    codes = bits.select("doc_id", code.alias("code"))
+    chunk_w = SIMHASH_BITS_SQL // SIMHASH_CHUNKS
+    chunks = codes.select(
+        "doc_id",
+        "code",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("code"), c * chunk_w).bitwiseAND(
+                        F.lit((1 << chunk_w) - 1)
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l = chunks.alias("l")
+    r = chunks.alias("r")
+    cand = (
+        l.join(r, ["chunk_idx", "chunk"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.code").alias("ca"),
+            F.col("r.code").alias("cb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.select(
+        "a", "b", F.bit_count(F.col("ca").bitwiseXOR(F.col("cb"))).alias("hamming")
+    ).where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+def _sql_simhash_pairs() -> str:
+    chunk_w = SIMHASH_BITS_SQL // SIMHASH_CHUNKS
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS_SQL)
+    )
+    code_sum = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS_SQL)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+g AS (
+  SELECT doc_id, {_sql_h60('u.g')} AS h
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh) u
+),
+bits AS (SELECT doc_id, {bit_sums} FROM g GROUP BY doc_id),
+codes AS (SELECT doc_id, {code_sum} AS code FROM bits),
+chunks AS (
+  SELECT doc_id, code, c.c AS chunk_idx,
+         (code >> (c.c * {chunk_w})) & {(1 << chunk_w) - 1} AS chunk
+  FROM codes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) c
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.code AS ca, r.code AS cb
+  FROM chunks l
+  JOIN chunks r ON l.chunk_idx = r.chunk_idx AND l.chunk = r.chunk
+              AND l.doc_id < r.doc_id
+)
+SELECT a, b, bit_count(xor(ca, cb)) AS hamming
+FROM cand WHERE bit_count(xor(ca, cb)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+SQL_SIMHASH_DUP_PAIRS = _sql_simhash_pairs()
 
 
 LONG_REPEAT_GRAM = 12
@@ -230,16 +348,72 @@ GROUP BY a, b
 """
 
 
+WINNOW_WINDOW = 4
+
+
 def q_longrepeat_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-scale winnowed long-repeat pass — numpy fingerprint kernel is
-    not SQL-expressible; rows-only driver check (pytest gates recall)."""
-    from neural_locality_sensitive_hashing_spark.operators.suffix import (
-        long_repeat_pairs,
+    """Winnowed long-repeat pairs (Schleimer/Wilkerson/Aiken fingerprints),
+    fully native AND SQL-mirrorable: positional 12-gram hashes (_h60 over
+    the gram strings), sliding-window-of-4 minimum, distinct fingerprints,
+    equi-join. Guarantee: any shared verbatim block of
+    >= gram_len + window - 1 tokens yields >= 1 shared fingerprint.
+
+    The engine-scale variant (xxhash64 + numpy sliding-min Arrow kernel)
+    lives in operators/suffix.py; this named query uses the shared md5
+    hash contract so the driver value-verifies the winnowing semantics.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    gh = F.transform(T.shingles(toks, LONG_REPEAT_GRAM), _h60)
+    m = F.size(gh)
+    w = WINNOW_WINDOW
+    fps = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - w + 1), lambda i: F.array_min(F.slice(gh, i, w))
+        ),
+    ).otherwise(gh)
+    fpe = (
+        docs.where(F.size(toks) >= LONG_REPEAT_GRAM)
+        .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+    )
+    l = fpe.alias("l")
+    r = fpe.alias("r")
+    return (
+        l.join(r, "fp")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_shared_fp"))
     )
 
-    docs = load(spark, sf_dir, "documents")
-    cfg_small = DedupConfig(long_repeat_min_tokens=LONG_REPEAT_GRAM)
-    return long_repeat_pairs(docs, cfg_small, winnow_window=4)
+
+_GL = LONG_REPEAT_GRAM
+SQL_LONGREPEAT_WINNOWED_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [{_sql_h60(f"array_to_string(t[i:i+{_GL - 1}], ' ')")}
+          for i in range(1, len(t) - {_GL - 2})] AS gh
+  FROM toks WHERE len(t) >= {_GL}
+),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(gh) >= {WINNOW_WINDOW}
+              THEN [list_min(gh[i:i+{WINNOW_WINDOW - 1}])
+                    for i in range(1, len(gh) - {WINNOW_WINDOW - 2})]
+              ELSE gh END AS fps
+  FROM g
+),
+fpe AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id, unnest(fps) AS fp FROM fp)
+)
+SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared_fp
+FROM fpe l JOIN fpe r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY a, b
+"""
 
 
 def q_learned_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,13 +551,231 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
 
+# ANN config shared by the Spark query and its DuckDB oracle: the oracle
+# embeds the SAME Gaussian hyperplanes as SQL literals and replicates the
+# sign/bit-pack/band-join/re-rank pipeline — so the oracle checks the
+# *approximate* semantics themselves, not an exact stand-in.
+ANN_DIM = 64  # embeddings table dimension (driver testdata contract)
+ANN_BANDS = 8
+ANN_BITS = 8
+ANN_SEED = 42
+ANN_K = 10
+
+
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate neighbors — rows-only driver check; the
-    recall-vs-bruteforce gate lives in tests/test_similarity.py."""
+    """Hyperplane-LSH approximate neighbors (J1 bucket join + exact
+    re-rank). Value-checked against a DuckDB oracle that replays the same
+    hyperplanes; the multi-probe recall knob is exercised in
+    tests/test_similarity.py and tools/bench_probe_sweep.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 32)
-    dim = len(emb.select("embedding").first()[0])
-    return S.ann_lsh(queries, emb, dim=dim, k=10)
+    return S.ann_lsh(
+        queries, emb, dim=ANN_DIM, k=ANN_K,
+        num_bands=ANN_BANDS, bits_per_band=ANN_BITS, seed=ANN_SEED,
+    )
+
+
+def _sql_plane_literals(planes: np.ndarray) -> str:
+    rows = []
+    for i, row in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        rows.append(f"({i}, {arr}::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+def _sql_hyperplane_buckets() -> str:
+    """CTE block computing (vec_id, bucket) exactly like make_hyperplane_udf:
+    bit = dot > 0, MSB-first pack per band, band index mixed in at <<32."""
+    planes = S.hyperplane_params(ANN_DIM, ANN_BANDS, ANN_BITS, ANN_SEED)
+    return f"""
+planes(pid, plane) AS (VALUES
+{_sql_plane_literals(planes)}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+  SELECT vec_id, pid,
+         CASE WHEN list_dot_product(v, plane) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN planes
+),
+bk AS (
+  SELECT vec_id,
+         sum(bit * CAST(1 << ({ANN_BITS - 1} - (pid % {ANN_BITS})) AS BIGINT))
+           + CAST(pid // {ANN_BITS} AS BIGINT) * 4294967296 AS bucket
+  FROM proj GROUP BY vec_id, pid // {ANN_BITS}
+)"""
+
+
+_SQL_COS = (
+    "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+    "* sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+SQL_ANN_LSH_COSINE = f"""
+WITH {_sql_hyperplane_buckets()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 32
+),
+sim AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM cand JOIN e a ON cand.query_id = a.vec_id
+            JOIN e b ON cand.neighbor_id = b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH path vs exact brute force, per query — the
+    reference's core quality metric (``nlsh/metrics.py:4-25``,
+    ``nlsh/trainers/base.py:94-108``) as an engine query. Both sides are
+    computed in Spark; the oracle recomputes both in SQL."""
+    from neural_locality_sensitive_hashing_spark.operators.metrics import recall_at_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32)
+    ann = S.ann_lsh(
+        queries, emb, dim=ANN_DIM, k=ANN_K,
+        num_bands=ANN_BANDS, bits_per_band=ANN_BITS, seed=ANN_SEED,
+    )
+    exact = S.knn_bruteforce(queries, emb, k=ANN_K)
+    return recall_at_k(ann, exact, k=ANN_K)
+
+
+SQL_ANN_RECALL_AT_K = f"""
+WITH {_sql_hyperplane_buckets()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 32
+),
+sim AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM cand JOIN e a ON cand.query_id = a.vec_id
+            JOIN e b ON cand.neighbor_id = b.vec_id
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM sim
+  ) WHERE rank <= {ANN_K}
+),
+xsim AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_SQL_COS} AS cosine
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id WHERE a.vec_id < 32
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM xsim
+  ) WHERE rank <= {ANN_K}
+)
+SELECT e1.query_id,
+       round(count(a1.neighbor_id) * 1.0 / {ANN_K}, 6) AS recall
+FROM exact e1 LEFT JOIN ann a1
+  ON e1.query_id = a1.query_id AND e1.neighbor_id = a1.neighbor_id
+GROUP BY e1.query_id
+"""
+
+
+def q_knn_bruteforce_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean top-k (K9 — the reference's SIFT-euclidean metric,
+    ``nlsh/data.py:176-201``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32)
+    return S.knn_bruteforce_l2(queries, emb, k=10)
+
+
+SQL_KNN_BRUTEFORCE_L2 = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 32),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sim AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_distance(q.v, c.v), 6) AS dist
+  FROM q, c WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC)
+           AS rank
+  FROM sim
+)
+SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# E2LSH config shared by Spark query + oracle (projection literals in SQL)
+E2_BANDS = 16
+E2_ROWS = 2
+E2_WIDTH = 4.0
+E2_SEED = 42
+
+
+def q_ann_lsh_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2LSH (p-stable projections) approximate Euclidean neighbors; oracle
+    replays the same projections + quantization in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32)
+    return S.ann_lsh_l2(
+        queries, emb, dim=ANN_DIM, k=ANN_K,
+        num_bands=E2_BANDS, rows_per_band=E2_ROWS, bucket_width=E2_WIDTH,
+        seed=E2_SEED,
+    )
+
+
+def _sql_e2lsh_buckets() -> str:
+    v, b = S.e2lsh_params(ANN_DIM, E2_BANDS, E2_ROWS, E2_WIDTH, E2_SEED)
+    rows = []
+    for i in range(v.shape[0]):
+        arr = "[" + ", ".join(repr(float(x)) for x in v[i]) + "]"
+        rows.append(f"({i}, {arr}::DOUBLE[], {b[i]!r})")
+    vals = ",\n".join(rows)
+    return f"""
+projs(pid, pv, pb) AS (VALUES
+{vals}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+quant AS (
+  SELECT vec_id, pid,
+         ((CAST(floor((list_dot_product(v, pv) + pb) / {E2_WIDTH!r}) AS BIGINT)
+           % 65536) + 65536) % 65536 AS c
+  FROM e CROSS JOIN projs
+),
+bk AS (
+  SELECT vec_id,
+         CAST(pid // {E2_ROWS} AS BIGINT) * 4294967296
+           + max(CASE WHEN pid % {E2_ROWS} = 0 THEN c END) * 65536
+           + max(CASE WHEN pid % {E2_ROWS} = 1 THEN c END) AS bucket
+  FROM quant GROUP BY vec_id, pid // {E2_ROWS}
+)"""
+
+
+SQL_ANN_LSH_L2 = f"""
+WITH {_sql_e2lsh_buckets()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 32
+),
+sim AS (
+  SELECT query_id, neighbor_id, round(list_distance(a.v, b.v), 6) AS dist
+  FROM cand JOIN e a ON cand.query_id = a.vec_id
+            JOIN e b ON cand.neighbor_id = b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= {ANN_K}
+"""
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,45 +877,14 @@ EMB_DUP_TAU = 0.4  # synthetic embeddings are diffuse (max pairwise ~0.51)
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: broadcast-matmul all-pairs.
-
-    The small side (here: the whole table — it is a small dim table at test
-    scale) is collected, L2-normalized, and broadcast as a numpy matrix;
-    each partition then does ONE (batch x dim) @ (dim x N) matmul per Arrow
-    batch instead of a crossJoin with interpreted per-element array
-    expressions (measured 31s -> ~2s at sf0.1). The LSH-bucketed variants
-    (`ann_lsh_cosine`, `learned_ann_cosine`) are the 100 TB path where no
-    side fits in a broadcast."""
-    import numpy as np
-    import pandas as pd
-
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH self-join +
+    exact-cosine verify — the default 100 TB plan (no driver collect, no
+    crossJoin). The 64x2 banding keeps the per-pair miss probability below
+    1e-7 at tau=0.4, so the output equals the exact-threshold oracle.
+    `operators.similarity.embedding_dup_pairs_broadcast` remains as an
+    explicitly size-gated matmul fast path for small dimension tables."""
     emb = load(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()  # small broadcast side
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    m = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_m = spark.sparkContext.broadcast(m)
-
-    def gen(batches):
-        cids = b_ids.value
-        cm = b_m.value
-        for pdf in batches:
-            x = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
-            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
-            sims = np.round(x @ cm.T, 6)
-            out_a, out_b, out_c = [], [], []
-            for i, vid in enumerate(pdf["vec_id"]):
-                mask = (sims[i] >= EMB_DUP_TAU) & (cids > vid)
-                for j in np.nonzero(mask)[0]:
-                    out_a.append(vid)
-                    out_b.append(int(cids[j]))
-                    out_c.append(float(sims[i, j]))
-            yield pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
-
-    return emb.select("vec_id", "embedding").mapInPandas(
-        gen, "a long, b long, cosine double"
-    )
+    return S.embedding_dup_pairs_lsh(emb, EMB_DUP_TAU, dim=ANN_DIM, seed=ANN_SEED)
 
 
 SQL_EMBEDDING_DUP_PAIRS = f"""
@@ -684,7 +1045,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "token_stats": q_token_stats,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_bruteforce_l2": q_knn_bruteforce_l2,
     "ann_lsh_cosine": q_ann_lsh_cosine,
+    "ann_lsh_l2": q_ann_lsh_l2,
+    "ann_recall_at_k": q_ann_recall_at_k,
     "embedding_stats": q_embedding_stats,
     "label_centroids": q_label_centroids,
     "embedding_l2_normalized": q_embedding_l2_normalized,
@@ -701,15 +1065,22 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
+    "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "long_repeat_pairs": SQL_LONG_REPEAT_PAIRS,
-    # simhash_dup_pairs, longrepeat_winnowed_pairs, ann_lsh_cosine,
-    # learned_ann_cosine: non-SQL-expressible → rows-only
+    "longrepeat_winnowed_pairs": SQL_LONGREPEAT_WINNOWED_PAIRS,
+    # learned_ann_cosine: trained-partitioner probe expansion is the one
+    # query left without a SQL twin → rows-only driver check (recall
+    # gated in tests/test_learned.py)
     "doc_profile": SQL_DOC_PROFILE,
     "lang_summary": SQL_LANG_SUMMARY,
     "top_tokens": SQL_TOP_TOKENS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "token_stats": SQL_TOKEN_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "knn_bruteforce_l2": SQL_KNN_BRUTEFORCE_L2,
+    "ann_lsh_cosine": SQL_ANN_LSH_COSINE,
+    "ann_lsh_l2": SQL_ANN_LSH_L2,
+    "ann_recall_at_k": SQL_ANN_RECALL_AT_K,
     "embedding_stats": SQL_EMBEDDING_STATS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "embedding_l2_normalized": SQL_EMBEDDING_L2_NORMALIZED,

@@ -107,3 +107,17 @@ class CheckpointCatalog:
         if not os.path.exists(p):
             return None
         return self.spark.read.parquet(p)
+
+    # -- metrics (S8: the reference's logger.log(name, value, step) sink,
+    #    ``nlsh/loggers.py:6-97``, as an appendable table next to lineage) --
+
+    def write_metrics(self, metrics: dict[str, float], run_id: str) -> None:
+        rows = [(run_id, k, float(v)) for k, v in metrics.items()]
+        df = self.spark.createDataFrame(rows, "run_id string, metric string, value double")
+        df.write.mode("append").parquet(os.path.join(self.base, "_metrics"))
+
+    def metrics(self) -> DataFrame | None:
+        p = os.path.join(self.base, "_metrics")
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)

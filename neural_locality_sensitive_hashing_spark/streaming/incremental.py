@@ -5,19 +5,24 @@ incremental dedup a `foreachBatch` refinement (SURVEY.md §2.10): for each
 micro-batch of newly crawled pages,
 
     1. signature the new docs (same kernels as batch),
-    2. candidate-join new bands against ALL bands seen so far
-       (new×all ⊇ every pair that involves a new doc; old×old pairs were
-       emitted by earlier batches — together that is exactly the batch
-       pipeline's pair set),
-    3. exact-verify and append to the dup_pairs store,
-    4. append new signatures to the signature store.
+    2. candidate-generate new×new (grouped self-join with skew capping)
+       PLUS new×old via an equi-join of the new bands against the
+       accumulated BAND STORE — old×old is never rescanned; per-batch
+       work is O(new×new + new-band probes), not O(total²),
+    3. exact-verify and append to the dup_pairs store (tagged batch_id),
+    4. append new signatures and new bands to their stores.
 
 State lives in parquet stores (Iceberg-style append tables), not in Spark's
-operator state — so the stream can restart from its checkpoint and the
-result is identical to a batch run over the union of all inputs
-(test_streaming.py asserts set-equality with the batch pipeline).
-Clustering stays a batch step over the accumulated pair store (union-find
-is global by nature; run it on demand or per N batches).
+operator state — so the stream can restart from its checkpoint.
+
+Equivalence contract vs a batch run over the union of all inputs:
+*identical pair set for buckets below ``bucket_pair_cap``* (each pair is
+emitted exactly once — by the batch that contributes its later doc). For
+over-cap buckets the batch pipeline emits rank-dependent chain+tree pairs
+while the increment emits new×all collisions, so pair SETS differ there;
+both preserve bucket connectivity, so cluster assignments agree
+(test_streaming.py asserts pair-set equality below cap and cluster-level
+equivalence with a planted over-cap bucket).
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ from pyspark.sql import functions as F
 from neural_locality_sensitive_hashing_spark.config import DedupConfig
 from neural_locality_sensitive_hashing_spark.operators.candidates import (
     candidate_pairs,
+    candidate_pairs_two_sided,
     explode_bands,
 )
 from neural_locality_sensitive_hashing_spark.operators.dedup import signatures_fused
@@ -41,48 +47,62 @@ PAGES_SCHEMA = (
 
 
 class IncrementalDeduper:
-    """foreachBatch sink: maintains signature + dup-pair stores."""
+    """foreachBatch sink: maintains signature + band + dup-pair stores."""
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig, state_dir: str):
         self.spark = spark
         self.cfg = cfg
         self.sig_store = os.path.join(state_dir, "signatures")
+        self.band_store = os.path.join(state_dir, "bands")
         self.pair_store = os.path.join(state_dir, "dup_pairs")
 
-    def _existing_sigs(self) -> DataFrame | None:
-        if not os.path.exists(self.sig_store):
+    def _read_store(self, path: str) -> DataFrame | None:
+        if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(self.sig_store)
+        return self.spark.read.parquet(path)
 
     def process_batch(self, new_pages: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
         new_sigs = signatures_fused(new_pages, cfg).persist()
+        new_bands = explode_bands(new_sigs, cfg).persist()
 
-        old = self._existing_sigs()
-        all_sigs = new_sigs if old is None else new_sigs.unionByName(old)
+        # new×new with the full skew-capped machinery ...
+        cands = candidate_pairs(new_bands, cfg)
+        # ... plus new×old: probe the accumulated band store directly —
+        # the ONLY work touching earlier batches is this equi-join; no
+        # old×old candidate is ever regenerated.
+        old_bands = self._read_store(self.band_store)
+        if old_bands is not None:
+            cands = cands.unionByName(
+                candidate_pairs_two_sided(new_bands, old_bands, cfg)
+            ).dropDuplicates(["a", "b"])
 
-        new_bands = explode_bands(new_sigs, cfg)
-        all_bands = explode_bands(all_sigs, cfg)
-        # new×all candidate join; candidate_pairs machinery needs one table,
-        # so tag sides and keep only pairs touching a new doc
-        new_ids = new_sigs.select("doc_id")
-        cands = candidate_pairs(all_bands.unionByName(new_bands).dropDuplicates(
-            ["doc_id", "band", "bucket"]
-        ), cfg)
-        touching_new = cands.join(
-            new_ids.withColumnRenamed("doc_id", "a"), "a", "left_semi"
-        ).unionByName(
-            cands.join(new_ids.withColumnRenamed("doc_id", "b"), "b", "left_semi")
-                 .select("a", "b")
-        ).dropDuplicates(["a", "b"])
+        old_sigs = self._read_store(self.sig_store)
+        all_sets = new_sigs.select("doc_id", "sh")
+        if old_sigs is not None:
+            all_sets = all_sets.unionByName(old_sigs.select("doc_id", "sh"))
 
-        dups = jaccard_verify(touching_new, all_sigs.select("doc_id", "sh"), cfg)
-        dups.select("a", "b", "jaccard").write.mode("append").parquet(self.pair_store)
+        dups = jaccard_verify(cands, all_sets, cfg)
+        (
+            dups.select("a", "b", "jaccard")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(self.pair_store)
+        )
+        new_bands.write.mode("append").parquet(self.band_store)
         new_sigs.select("doc_id", "sh", "sig").write.mode("append").parquet(self.sig_store)
+        new_bands.unpersist()
         new_sigs.unpersist()
 
     def dup_pairs(self) -> DataFrame:
-        return self.spark.read.parquet(self.pair_store).dropDuplicates(["a", "b"])
+        return (
+            self.spark.read.parquet(self.pair_store)
+            .select("a", "b", "jaccard")
+            .dropDuplicates(["a", "b"])
+        )
+
+    def dup_pairs_with_batch(self) -> DataFrame:
+        return self.spark.read.parquet(self.pair_store)
 
 
 def run_incremental(

@@ -114,3 +114,33 @@ def test_learned_dedup_finds_exact_dups(spark):
     want = {(2 * i, 2 * i + 1) for i in range(60)}
     missed = want - got
     assert len(missed) <= 1, f"learned partitioner missed exact-dup pairs: {missed}"
+
+
+def test_fit_sample_spans_partitions(spark):
+    """The trainer sample must draw from every partition, not just the
+    first (a `.limit()` would see one shard's distribution only)."""
+    import pandas as pd
+    from neural_locality_sensitive_hashing_spark.operators.learned import (
+        fit_partitioner_on_sample,
+    )
+
+    # partition 0 holds cluster A, partition 1 holds cluster B
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(16) * 0.01 + 5.0
+    b = rng.standard_normal(16) * 0.01 - 5.0
+    rows = [(i, [float(v) for v in (a if i < 500 else b)]) for i in range(1000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartitionByRange(
+        2, "vec_id"
+    )
+    # capture what the sampling actually collects by fitting on a small
+    # sample and checking the learned codes separate the two clusters —
+    # impossible if only cluster A was sampled (all-A training degenerates)
+    w = fit_partitioner_on_sample(df, n_bits=6, sample_rows=200, seed=7)
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        hash_codes_numpy,
+    )
+    import numpy as _np
+
+    ca = hash_codes_numpy(_np.stack([a]), w)[0][0]
+    cb = hash_codes_numpy(_np.stack([b]), w)[0][0]
+    assert ca != cb

@@ -34,3 +34,46 @@ def test_incremental_equals_batch(spark, pages_1k, tmp_path):
     assert not missing, f"streaming missed pairs: {list(missing)[:5]}"
     assert not extra, f"streaming invented pairs: {list(extra)[:5]}"
     assert n == 1000
+
+    # truly incremental: every pair verified in batch k touches a doc of
+    # batch k (doc_id % 3 == k by construction) — no old×old rescans
+    tagged = dedup.dup_pairs_with_batch().collect()
+    assert len(tagged) > 0
+    for r in tagged:
+        assert r.a % 3 == r.batch_id or r.b % 3 == r.batch_id, (
+            f"pair ({r.a},{r.b}) re-emitted by batch {r.batch_id} "
+            "without a new endpoint"
+        )
+
+
+def test_incremental_overcap_bucket_cluster_equivalence(spark, tmp_path):
+    """Over-cap buckets: pair SETS may differ from batch (rank-dependent
+    chain+tree vs new×all) but cluster assignments must agree."""
+    from neural_locality_sensitive_hashing_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    cfg = DedupConfig(bucket_pair_cap=8)
+    boiler = " ".join(f"tok{i}" for i in range(60))
+    rows = [(i, f"http://x/{i}", None, None, boiler, "en") for i in range(40)]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    input_dir = str(tmp_path / "incoming")
+    os.makedirs(input_dir)
+    for i in range(2):
+        pages.where(f"doc_id % 2 = {i}").coalesce(1).write.parquet(
+            f"{input_dir}/b{i}.parquet"
+        )
+    dedup = run_incremental(spark, f"{input_dir}/*", str(tmp_path / "state"), cfg)
+
+    inc_labels = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(dedup.dup_pairs()).collect()
+    }
+    bat_labels = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(minhash_dup_pairs(pages, cfg)).collect()
+    }
+    assert inc_labels == bat_labels
+    assert len(set(inc_labels.values())) == 1  # all 40 identical docs: one cluster
