@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from neural_locality_sensitive_hashing_spark.queries import ORACLES, QUERIES
+from neural_locality_sensitive_hashing_spark.queries import QUERIES, get_oracles
 from neural_locality_sensitive_hashing_spark.queries import (
     q_minhash_dedup_clusters,
 )
@@ -29,4 +29,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return get_oracles()

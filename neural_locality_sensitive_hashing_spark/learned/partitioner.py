@@ -37,11 +37,19 @@ def train_partitioner(
     margin: float = 1.0,
     balance_weight: float = 0.5,
     seed: int = 42,
+    negative_mode: str = "random",
+    pos_mask_k: int = 8,
 ) -> dict[str, np.ndarray]:
     """Fit (W, b) on a sample matrix x (n, d). Positive pairs = exact
     nearest neighbor of each row within the sample (the reference's
-    precomputed self-kNN, ``precompute.py:57-67``); negatives = random
-    pairs. Adam with AMSGrad, mirroring the reference's fit loop
+    precomputed self-kNN, ``precompute.py:57-67``). Negatives: ``random``
+    draws uniform rows per epoch; ``hardest`` mines the closest
+    non-positive row in the CURRENT code space each epoch — the
+    reference's masked-argmin hard-negative mining
+    (``nlsh/trainers/triplet.py:44-74``); the mask covers the data-space
+    top-``pos_mask_k`` neighborhood (the reference masks its precomputed
+    kNN set) so likely-positives are never mined as negatives. Adam with
+    AMSGrad, mirroring the reference's fit loop
     (``nlsh/trainers/base.py:68-79``)."""
     rng = np.random.default_rng(seed)
     n, d = x.shape
@@ -58,9 +66,24 @@ def train_partitioner(
     mb, vb, vb_hat = np.zeros_like(b), np.zeros_like(b), np.zeros_like(b)
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     t = 0
+    rows = np.arange(n)
+    if negative_mode == "hardest":
+        # data-space likely-positive mask: self + top-k cosine neighbors
+        k_mask = min(pos_mask_k, n - 2)
+        near = np.argpartition(-sim, k_mask, axis=1)[:, :k_mask]
 
     for _ in range(epochs):
-        neg = rng.integers(0, n, size=n)
+        if negative_mode == "hardest":
+            # mine in the current code-probability space: nearest row
+            # outside the likely-positive neighborhood (masked argmin)
+            p_cur = _sigmoid(xn @ w + b)
+            sq = (p_cur**2).sum(axis=1)
+            d2 = sq[:, None] + sq[None, :] - 2.0 * (p_cur @ p_cur.T)  # (n, n)
+            d2[rows, rows] = np.inf
+            d2[rows[:, None], near] = np.inf
+            neg = d2.argmin(axis=1)
+        else:
+            neg = rng.integers(0, n, size=n)
         z = xn @ w + b
         p = _sigmoid(z)
         dp = np.zeros_like(p)

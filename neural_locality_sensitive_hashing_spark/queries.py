@@ -416,18 +416,115 @@ GROUP BY a, b
 """
 
 
-def q_learned_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned-partitioner ANN (trainer on driver sample + broadcast kernel)
-    — rows-only driver check; recall gated in tests/test_learned.py."""
-    from neural_locality_sensitive_hashing_spark.operators.learned import (
-        fit_partitioner_on_sample,
-        learned_ann,
+LEARNED_BITS = 10
+LEARNED_PROBES = 8
+LEARNED_TRAIN_ROWS = 2048
+
+
+@functools.lru_cache(maxsize=4)
+def _learned_weights_for(sf_dir: str):
+    """Deterministic trainer input shared by the Spark query AND the
+    oracle generator: the first LEARNED_TRAIN_ROWS embeddings by vec_id,
+    read via pyarrow (no Spark needed — the trainer is driver-side by
+    design, SURVEY §3 E1). Spark-sampled training stays available through
+    operators.learned.fit_partitioner_on_sample; this fixed slice makes
+    the fitted weights replayable as SQL literals."""
+    import pyarrow.parquet as pq
+
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        train_partitioner,
     )
 
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return train_partitioner(x, n_bits=LEARNED_BITS, seed=42)
+
+
+def q_learned_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-partitioner ANN (driver-side numpy trainer + broadcast Arrow
+    kernel; corpus hashed once, queries multi-probe). The oracle replays
+    the fitted weights, sigmoid head, MSB bit-pack and least-confident-bit
+    probe expansion as SQL literals — the approximate semantics themselves
+    are value-checked."""
+    from neural_locality_sensitive_hashing_spark.operators.learned import learned_ann
+
     emb = load(spark, sf_dir, "embeddings")
-    weights = fit_partitioner_on_sample(emb, n_bits=10, seed=42)
+    weights = _learned_weights_for(sf_dir)
     queries = emb.where(F.col("vec_id") < 32)
-    return learned_ann(queries, emb, weights, k=10, n_probes=8)
+    return learned_ann(queries, emb, weights, k=ANN_K, n_probes=LEARNED_PROBES)
+
+
+def _sql_learned_ann(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle for q_learned_ann_cosine: full SQL replay of the learned
+    multi-probe query path with the fitted (W, b) embedded as literals.
+    Generated against the driver's correctness sf_dir (sf0.01)."""
+    w = _learned_weights_for(sf_dir)
+    W, b = w["W"], w["b"]  # (dim, n_bits), (n_bits,)
+    h = LEARNED_BITS
+    rows = []
+    for k in range(h):
+        arr = "[" + ", ".join(repr(float(v)) for v in W[:, k]) + "]"
+        rows.append(f"({k}, {arr}::DOUBLE[], {float(b[k])!r})")
+    wvals = ",\n".join(rows)
+    # probe set = base code XOR every subset of the 3 least-confident bit
+    # weights (n_probes=8 -> masks 0..7), mirroring hash_codes_numpy
+    return f"""
+WITH wcols(k, wv, bk) AS (VALUES
+{wvals}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT vec_id, k,
+         1.0 / (1.0 + exp(-greatest(least(list_dot_product(v, wv) + bk, 30.0), -30.0)))
+           AS pk
+  FROM e CROSS JOIN wcols
+),
+base AS (
+  SELECT vec_id,
+         sum(CASE WHEN pk > 0.5 THEN CAST(1 << ({h - 1} - k) AS BIGINT) ELSE 0 END)
+           AS code
+  FROM p GROUP BY vec_id
+),
+conf AS (
+  SELECT vec_id, k,
+         row_number() OVER (PARTITION BY vec_id ORDER BY abs(pk - 0.5) ASC, k ASC)
+           AS rnk
+  FROM p
+),
+flips AS (
+  SELECT vec_id,
+         max(CASE WHEN rnk = 1 THEN CAST(1 << ({h - 1} - k) AS BIGINT) END) AS f0,
+         max(CASE WHEN rnk = 2 THEN CAST(1 << ({h - 1} - k) AS BIGINT) END) AS f1,
+         max(CASE WHEN rnk = 3 THEN CAST(1 << ({h - 1} - k) AS BIGINT) END) AS f2
+  FROM conf GROUP BY vec_id
+),
+qcodes AS (
+  SELECT vec_id, xor(code, s) AS bucket FROM (
+    SELECT b.vec_id, b.code,
+           unnest([0, f.f0, f.f1, xor(f.f0, f.f1), f.f2,
+                   xor(f.f0, f.f2), xor(f.f1, f.f2),
+                   xor(xor(f.f0, f.f1), f.f2)]) AS s
+    FROM base b JOIN flips f ON b.vec_id = f.vec_id
+    WHERE b.vec_id < 32
+  )
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qcodes q JOIN base c ON q.bucket = c.code AND q.vec_id <> c.vec_id
+),
+sim AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM cand JOIN e a ON cand.query_id = a.vec_id
+            JOIN e b ON cand.neighbor_id = b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
 
 
 # --- documents: text analysis ------------------------------------------------
@@ -1068,9 +1165,6 @@ ORACLES: dict[str, str] = {
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "long_repeat_pairs": SQL_LONG_REPEAT_PAIRS,
     "longrepeat_winnowed_pairs": SQL_LONGREPEAT_WINNOWED_PAIRS,
-    # learned_ann_cosine: trained-partitioner probe expansion is the one
-    # query left without a SQL twin → rows-only driver check (recall
-    # gated in tests/test_learned.py)
     "doc_profile": SQL_DOC_PROFILE,
     "lang_summary": SQL_LANG_SUMMARY,
     "top_tokens": SQL_TOP_TOKENS,
@@ -1090,3 +1184,16 @@ ORACLES: dict[str, str] = {
     "event_type_hourly": SQL_EVENT_TYPE_HOURLY,
     "user_topk_events": SQL_USER_TOPK_EVENTS,
 }
+
+
+def get_oracles() -> dict[str, str]:
+    """Full oracle map. The learned-ANN oracle embeds weights fitted on the
+    driver's correctness sf_dir (sf0.01) and is generated lazily — if that
+    data is unavailable the query degrades to a rows-only check instead of
+    breaking imports."""
+    out = dict(ORACLES)
+    try:
+        out["learned_ann_cosine"] = _sql_learned_ann()
+    except Exception:  # noqa: BLE001 — no sf0.01 data in this environment
+        pass
+    return out

@@ -144,3 +144,26 @@ def test_fit_sample_spans_partitions(spark):
     ca = hash_codes_numpy(_np.stack([a]), w)[0][0]
     cb = hash_codes_numpy(_np.stack([b]), w)[0][0]
     assert ca != cb
+
+
+def test_hardest_negative_mining_trains():
+    """R7 (reference nlsh/trainers/triplet.py:44-74): masked-argmin hard
+    negatives — positives must still collide (recall proxy) while
+    cross-cluster collisions stay near zero (efficiency proxy)."""
+    rng = np.random.default_rng(2)
+    centers = rng.standard_normal((10, 24))
+    x = np.repeat(centers, 40, axis=0) + 0.05 * rng.standard_normal((400, 24))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sim = xn @ xn.T
+    np.fill_diagonal(sim, -np.inf)
+    pos = sim.argmax(axis=1)
+
+    w = train_partitioner(x, n_bits=8, epochs=40, seed=3, negative_mode="hardest")
+    codes = np.array([c[0] for c in hash_codes_numpy(xn, w)])
+    pos_collide = (codes == codes[pos]).mean()
+    assert pos_collide >= 0.75, f"positive collision rate {pos_collide}"
+    lab = np.repeat(np.arange(10), 40)
+    same = codes[:, None] == codes[None, :]
+    inter = lab[:, None] != lab[None, :]
+    assert same[inter].mean() <= 0.01, "hard negatives failed to separate clusters"
+    assert len(set(codes)) >= 4

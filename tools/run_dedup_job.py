@@ -35,9 +35,12 @@ def main() -> None:
         "mode; per-stage timings are omitted",
     )
     ap.add_argument(
-        "--repartition", type=int, default=0,
+        "--repartition", type=int, default=-1,
         help="repartition the narrow (doc_id, text) projection to N "
-        "partitions before compute; 0 = 2x defaultParallelism",
+        "partitions before compute; 0 = 2x defaultParallelism; -1 (default) "
+        "= no repartition — the parquet scan's maxPartitionBytes splits "
+        "already fan out across cores, and skipping the exchange keeps the "
+        "full corpus text out of the shuffle entirely",
     )
     ap.add_argument("--with-longrepeat", action="store_true")
     args = ap.parse_args()
@@ -79,10 +82,12 @@ def main() -> None:
 
     pages = spark.read.parquet(args.pages)
     n_docs = pages.count()
-    # balance the narrow projection across all cores regardless of the
-    # source file's row-group layout (one shuffle of just doc_id+text)
-    nparts = args.repartition or 2 * cores
-    pages = pages.select("doc_id", "text").repartition(nparts, "doc_id")
+    pages = pages.select("doc_id", "text")
+    if args.repartition >= 0:
+        # optional: balance the narrow projection across all cores
+        # regardless of the source file's row-group layout
+        nparts = args.repartition or 2 * cores
+        pages = pages.repartition(nparts, "doc_id")
 
     stages: dict[str, float] = {}
     t_all = time.time()
