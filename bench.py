@@ -33,6 +33,7 @@ HEADLINE = [
     "knn_bruteforce_l2",
     "ann_lsh_cosine",
     "ann_lsh_l2",
+    "ivf_ann_cosine",
     "ann_recall_at_k",
     "learned_ann_cosine",
     "embedding_dup_pairs",

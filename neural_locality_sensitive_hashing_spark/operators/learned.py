@@ -90,6 +90,54 @@ def learned_dup_pairs(
     return jaccard_verify(cands, sh, cfg)
 
 
+def ivf_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus rows live in their nearest-centroid
+    bucket, queries probe the ``n_probes`` nearest centroids, exact cosine
+    re-ranks — the VQ partitioner's query path (reference VQ-VAE argmax
+    lookup, ``nlsh/trainers/vqvae.py``, re-imagined as spherical k-means;
+    see learned/vq.py). Centroid ids explode NARROW (id, bucket); vectors
+    gather back post-dedup (J3)."""
+    from neural_locality_sensitive_hashing_spark.learned.vq import make_vq_code_udf
+    from neural_locality_sensitive_hashing_spark.operators.similarity import (
+        _cosine_udf,
+    )
+
+    c_udf = make_vq_code_udf(codebook, n_probes=1)
+    q_udf = make_vq_code_udf(codebook, n_probes=n_probes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.explode(c_udf(F.col(vec_col))).alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(q_udf(F.col(vec_col))).alias("bucket")
+    )
+    cand = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_udf(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return sim.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
 def learned_ann(
     queries: DataFrame,
     corpus: DataFrame,

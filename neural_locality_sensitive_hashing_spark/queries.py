@@ -783,6 +783,80 @@ GROUP BY e1.query_id
 """
 
 
+IVF_CENTROIDS = 64
+IVF_PROBES = 4
+IVF_ITERS = 20
+
+
+@functools.lru_cache(maxsize=4)
+def _ivf_codebook_for(sf_dir: str):
+    """Deterministic spherical-k-means codebook over the same pyarrow
+    training slice as the learned partitioner (replayable as SQL literals)."""
+    import pyarrow.parquet as pq
+
+    from neural_locality_sensitive_hashing_spark.learned.vq import train_vq_codebook
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return train_vq_codebook(x, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS, seed=42)
+
+
+def q_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid buckets + multi-probe + exact re-rank —
+    the scale path for embedding similarity when hyperplane codes are too
+    coarse. Oracle replays the trained centroids as SQL literals."""
+    from neural_locality_sensitive_hashing_spark.operators.learned import ivf_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = _ivf_codebook_for(sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return ivf_ann(queries, emb, cb, k=ANN_K, n_probes=IVF_PROBES)
+
+
+def _sql_ivf_ann(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cb = _ivf_codebook_for(sf_dir)
+    rows = []
+    for i in range(cb.shape[0]):
+        arr = "[" + ", ".join(repr(float(v)) for v in cb[i]) + "]"
+        rows.append(f"({i}, {arr}::DOUBLE[])")
+    vals = ",\n".join(rows)
+    return f"""
+WITH cents(cid, cv) AS (VALUES
+{vals}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+en AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn
+  FROM e
+),
+scored AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(vn, cv) DESC, cid ASC) AS rnk
+  FROM en CROSS JOIN cents
+),
+cbk AS (SELECT vec_id, cid AS bucket FROM scored WHERE rnk = 1),
+qbk AS (SELECT vec_id, cid AS bucket FROM scored WHERE rnk <= {IVF_PROBES} AND vec_id < 32),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qbk q JOIN cbk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+sim AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM cand JOIN e a ON cand.query_id = a.vec_id
+            JOIN e b ON cand.neighbor_id = b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def q_knn_bruteforce_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean top-k (K9 — the reference's SIFT-euclidean metric,
     ``nlsh/data.py:176-201``)."""
@@ -1145,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce_l2": q_knn_bruteforce_l2,
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "ann_lsh_l2": q_ann_lsh_l2,
+    "ivf_ann_cosine": q_ivf_ann_cosine,
     "ann_recall_at_k": q_ann_recall_at_k,
     "embedding_stats": q_embedding_stats,
     "label_centroids": q_label_centroids,
@@ -1194,6 +1269,7 @@ def get_oracles() -> dict[str, str]:
     out = dict(ORACLES)
     try:
         out["learned_ann_cosine"] = _sql_learned_ann()
+        out["ivf_ann_cosine"] = _sql_ivf_ann()
     except Exception:  # noqa: BLE001 — no sf0.01 data in this environment
         pass
     return out
