@@ -167,3 +167,25 @@ def test_hardest_negative_mining_trains():
     inter = lab[:, None] != lab[None, :]
     assert same[inter].mean() <= 0.01, "hard negatives failed to separate clusters"
     assert len(set(codes)) >= 4
+
+
+def test_pca_partitioner_bits():
+    """AE-as-PCA partitioner: bits follow the top principal direction and
+    the (W, b) contract matches hash_codes_numpy."""
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        train_pca_partitioner,
+    )
+
+    rng = np.random.default_rng(4)
+    # dominant variance along a known axis
+    x = np.zeros((300, 8))
+    x[:, 3] = rng.standard_normal(300) * 10
+    x += 0.1 * rng.standard_normal((300, 8))
+    w = train_pca_partitioner(x, n_bits=3)
+    codes = np.array([c[0] for c in hash_codes_numpy(x, w)])
+    # first (strongest) bit must equal the sign of the centered dim-3 value
+    top_bit = (codes >> 2) & 1
+    want = (x[:, 3] - x[:, 3].mean() > 0).astype(int)
+    agree = (top_bit == want).mean()
+    assert agree >= 0.95 or agree <= 0.05  # sign of PC is canonical either way
+    assert len(set(codes)) >= 2
