@@ -1,13 +1,23 @@
 """Two-parallelism-level scaling evidence (BASELINE.md protocol).
 
-The north rule's N vs 4N executor criterion cannot use a real cluster in
-this sandbox; per the driver instruction it is evidenced by running the
-IDENTICAL spark-submit job on the IDENTICAL input at local[8] and
-local[32] (fresh JVM each) and reporting throughput at both plus
+The north rule's N vs 4N executor criterion cannot use a real multi-node
+cluster in this sandbox; per the driver instruction it is evidenced by
+running the IDENTICAL spark-submit job on the IDENTICAL input at two
+parallelism levels (fresh JVM each) and reporting throughput at both plus
 efficiency = throughput(4N) / (4 * throughput(N)). Writes
 BENCH/BASELINE.md.
 
-    python tools/bench_scaling.py [n_docs]
+Two modes (BENCH_SCALING_MODE):
+
+  executors (default) — `--master local-cluster[W,C,M]` with W=1 vs W=4
+      workers: Spark's standalone-in-a-box. Each executor is a SEPARATE
+      JVM with a private heap; shuffles cross process boundaries. This is
+      the faithful in-sandbox stand-in for "N executors vs 4N executors".
+  threads — `--master local[N]` vs local[4N]: one shared-heap JVM. Kept
+      for comparison; understates cluster scaling because all task
+      threads contend on a single allocator/GC (see BENCH/BASELINE.md).
+
+    python tools/bench_scaling.py [n_docs] [extra run_dedup_job args...]
 """
 
 from __future__ import annotations
@@ -24,25 +34,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
 
 
-def run_level(cpus: int, pages: str, zip_path: str, extra: list[str]) -> dict:
+MODE = os.environ.get("BENCH_SCALING_MODE", "executors")
+CORES_PER_EXECUTOR = int(os.environ.get("BENCH_SCALING_EXEC_CORES", "2"))
+MEM_PER_EXECUTOR_MB = int(os.environ.get("BENCH_SCALING_EXEC_MB", "6144"))
+
+
+def _master(level: int) -> str:
+    if MODE == "executors":
+        return f"local-cluster[{level},{CORES_PER_EXECUTOR},{MEM_PER_EXECUTOR_MB}]"
+    return f"local[{level}]"
+
+
+def _total_cores(level: int) -> int:
+    return level * CORES_PER_EXECUTOR if MODE == "executors" else level
+
+
+def run_level(level: int, pages: str, zip_path: str, extra: list[str]) -> dict:
     """Best of TRIALS runs — this sandbox is a shared VM with bursty
     noisy-neighbor CPU steal (observed 4x swings on identical runs); the
     minimum is the least-interfered measurement of the job itself."""
     best: dict | None = None
+    master = _master(level)
     for t in range(TRIALS):
-        out_json = f"/tmp/nlsh_scale_{cpus}_{t}.json"
+        out_json = f"/tmp/nlsh_scale_{MODE}_{level}_{t}.json"
         cmd = [
             "spark-submit",
-            "--master", f"local[{cpus}]",
-            "--driver-memory", "16g",
+            "--master", master,
+            "--driver-memory", "8g",
             "--py-files", zip_path,
             os.path.join(REPO, "tools", "run_dedup_job.py"),
             "--pages", pages,
-            "--shuffle-partitions", str(4 * cpus),
+            "--shuffle-partitions", str(4 * _total_cores(level)),
             "--json-out", out_json,
             *extra,
         ]
-        print(f"# running local[{cpus}] trial {t} ...", file=sys.stderr)
+        print(f"# running {master} trial {t} ...", file=sys.stderr)
         t0 = time.time()
         subprocess.run(
             cmd, check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
@@ -72,8 +98,9 @@ def main() -> None:
         cwd=REPO, check=True,
     )
 
+    default_levels = "1,4" if MODE == "executors" else "2,8"
     levels = [
-        int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "2,8").split(",")
+        int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", default_levels).split(",")
     ]
     assert len(levels) == 2 and levels[1] == 4 * levels[0], "need N and 4N"
     lo = run_level(levels[0], pages, zip_path, extra)
@@ -89,6 +116,8 @@ def main() -> None:
             return "end-to-end (--fast: no per-stage barriers)"
         return " / ".join(f"{k} {v}s" for k, v in s.items())
 
+    lo_label = _master(levels[0])
+    hi_label = _master(levels[1])
     with open(md, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — dedup throughput + scaling evidence
@@ -98,15 +127,15 @@ Full MinHash-LSH dedup pipeline (fused tokenize+shingle+MinHash signatures
 skew capping) -> exact-Jaccard verify -> union-find clusters) on the
 deterministic synthetic Common-Crawl-style corpus ({lo['docs']} docs, seed
 42), submitted via `spark-submit --py-files` as otherwise-identical jobs at
-two parallelism levels (the sandbox stand-in for N vs 4N executors — see
-BASELINE.md scaling-protocol note). Best of {TRIALS} trial(s) per level
-(this VM shows up to 4x noisy-neighbor swings between identical runs; the
-minimum is the least-interfered measurement of the job itself).
+two cluster sizes. Mode = {MODE}: {"each executor is a separate JVM worker process with a private heap (Spark local-cluster, the faithful in-sandbox stand-in for N vs 4N executors)" if MODE == "executors" else "one shared-heap JVM with N vs 4N task threads"}.
+Best of {TRIALS} trial(s) per level (this VM shows up to 4x noisy-neighbor
+swings between identical runs; the minimum is the least-interfered
+measurement of the job itself).
 
-| parallelism | wall (s) | docs/sec | stage walls |
-|---|---|---|---|
-| local[{lo['cores']}]  (N)  | {lo['wall_sec']} | {lo['docs_per_sec']} | {stage_cols(lo)} |
-| local[{hi['cores']}] (4N) | {hi['wall_sec']} | {hi['docs_per_sec']} | {stage_cols(hi)} |
+| cluster | total cores | wall (s) | docs/sec | stage walls |
+|---|---|---|---|---|
+| {lo_label}  (N)  | {_total_cores(levels[0])} | {lo['wall_sec']} | {lo['docs_per_sec']} | {stage_cols(lo)} |
+| {hi_label} (4N) | {_total_cores(levels[1])} | {hi['wall_sec']} | {hi['docs_per_sec']} | {stage_cols(hi)} |
 
 **Scaling efficiency = throughput(4N) / (4 x throughput(N)) =
 {hi['docs_per_sec']} / (4 x {lo['docs_per_sec']}) = {eff:.3f}**
@@ -118,7 +147,7 @@ candidate_pairs={lo['candidate_pairs']} vs {hi['candidate_pairs']},
 dup_pairs={lo['dup_pairs']} vs {hi['dup_pairs']}) — identical results
 regardless of parallelism (determinism across partitioning).
 
-Reproduce: `python tools/bench_scaling.py {lo['docs']}`
+Reproduce: `BENCH_SCALING_MODE={MODE} python tools/bench_scaling.py {lo['docs']}`
 """
         )
     print(json.dumps({
