@@ -89,6 +89,32 @@ def decode_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
 
 
+def sample_frames(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
+    """Frame-sampling plumbing: explode each video payload into frame rows
+    (media_id, frame_idx, frame_feature). The frame decode is the same
+    documented stub; the Spark side — explode shape, per-frame feature
+    schema, payload locality — is real. Images/audio yield one frame."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = _fake_frame_count(raw, kind)
+                step = max(1, every_n_bytes)
+                for fi in range(n_frames):
+                    chunk = raw[fi * step : (fi + 1) * step]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    feats.append(_fake_decode_features(chunk, kind))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_feature": feats})
+
+    return media.mapInPandas(
+        extract,
+        "media_id long, frame_idx long, frame_feature array<float>",
+    )
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Typed metadata projection without touching payload bytes (native
     json_tuple over the meta column; payload column pruned by Catalyst)."""

@@ -1158,6 +1158,43 @@ ORDER BY revenue DESC, c_custkey ASC LIMIT 20
 """
 
 
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: revenue per region/nation with the small
+    dimension tables broadcast (the J1 'broadcast small dims' physical
+    pattern at relational scale)."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 def q_event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
@@ -1227,6 +1264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_zscore": q_embedding_zscore,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
+    "region_revenue": q_region_revenue,
     "event_type_hourly": q_event_type_hourly,
     "user_topk_events": q_user_topk_events,
 }
@@ -1256,6 +1294,7 @@ ORACLES: dict[str, str] = {
     "embedding_zscore": SQL_EMBEDDING_ZSCORE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customers": SQL_TOP_CUSTOMERS,
+    "region_revenue": SQL_REGION_REVENUE,
     "event_type_hourly": SQL_EVENT_TYPE_HOURLY,
     "user_topk_events": SQL_USER_TOPK_EVENTS,
 }

@@ -64,3 +64,35 @@ def test_features_feed_ann_plumbing(spark):
     nn = knn_bruteforce(feats.where(F.col("vec_id") < 5), feats, k=3)
     got = nn.groupBy("query_id").count().collect()
     assert len(got) == 5 and all(r["count"] == 3 for r in got)
+
+
+def test_frame_sampling_and_feature_ann(spark):
+    """Frame-sample explode + feature-column ANN chain: multimodal features
+    flow straight into the similarity operators."""
+    from neural_locality_sensitive_hashing_spark.functions.multimodal import (
+        decode_media_features,
+        generate_media,
+        sample_frames,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    media = generate_media(spark, 40, seed=11)
+    frames = sample_frames(media)
+    rows = frames.groupBy("media_id").count().collect()
+    assert len(rows) == 40
+    by_kind = {r.media_id: r for r in media.collect()}
+    for r in rows:
+        if by_kind[r.media_id].kind == "video":
+            assert r["count"] >= 1
+        else:
+            assert r["count"] == 1
+
+    feats = decode_media_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    q = feats.where(F.col("vec_id") < 5)
+    knn = knn_bruteforce(q, feats, k=3)
+    got = knn.groupBy("query_id").count().collect()
+    assert len(got) == 5 and all(r["count"] == 3 for r in got)

@@ -55,12 +55,19 @@ def run_level(level: int, pages: str, zip_path: str, extra: list[str]) -> dict:
     minimum is the least-interfered measurement of the job itself."""
     best: dict | None = None
     master = _master(level)
+    # shuffle scratch on tmpfs when available: /tmp sits on the shared
+    # virtual disk whose single queue serializes shuffle I/O across all
+    # executors (measured: the single biggest scaling killer on this VM);
+    # on a real cluster each executor has its own local disks
+    scratch = "/dev/shm/spark-scratch" if os.path.isdir("/dev/shm") else "/tmp"
+    os.makedirs(scratch, exist_ok=True)
     for t in range(TRIALS):
         out_json = f"/tmp/nlsh_scale_{MODE}_{level}_{t}.json"
         cmd = [
             "spark-submit",
             "--master", master,
             "--driver-memory", "8g",
+            "--conf", f"spark.local.dir={scratch}",
             "--py-files", zip_path,
             os.path.join(REPO, "tools", "run_dedup_job.py"),
             "--pages", pages,
