@@ -111,19 +111,48 @@ def shingle_hashes_python(text: str, k: int, cache: dict) -> np.ndarray:
     return np.unique(acc)
 
 
-def make_shingle_sig_udf(k: int, num_perm: int, seed: int):
-    """Fused text -> struct(sh array<bigint>, sig array<bigint>) pandas UDF.
+def band_hashes_numpy(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, num_perm) uint64 signatures -> (n, num_bands) int64 band-bucket
+    hashes: rotl7-xor-multiply fold of each band's rows with the band index
+    mixed in (identical docs collide per band; different bands never
+    collide with each other). Same contract as candidates.band_buckets,
+    different hash family — banding only needs consistency, not a specific
+    hash."""
+    n = sigs.shape[0]
+    b = sigs.reshape(n, num_bands, rows_per_band)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, num_bands), np.uint64(0x243F6A8885A308D3))
+        for r in range(rows_per_band):
+            acc = (acc ^ b[:, :, r]) * mult
+            acc = (acc << np.uint64(7)) | (acc >> np.uint64(57))
+        acc = acc ^ (np.arange(num_bands, dtype=np.uint64) << np.uint64(1))
+        acc = acc * mult
+    return acc.view(np.int64)
 
-    One Arrow pass does tokenize + shingle + MinHash entirely in the Python
-    worker (numpy): measured ~2.5x less total CPU than the native
-    higher-order-function shingle path at 32 local threads, because
+
+def make_shingle_sig_udf(
+    k: int, num_perm: int, seed: int, num_bands: int = 0, rows_per_band: int = 0
+):
+    """Fused text -> struct(sh binary, sig array<long>) pandas UDF — or,
+    with banding params set, text -> struct(sh binary, bands array<long>).
+
+    One Arrow pass does tokenize + shingle + MinHash (+ banding) entirely
+    in the Python worker (numpy): measured ~2.5x less total CPU than the
+    native higher-order-function shingle path at 32 local threads, because
     interpreted zip_with/transform expressions allocate per-element garbage
     that stalls the shared JVM heap — worker processes have no shared GC.
-    Token hashes are memoized per batch (Zipfian text -> high hit rate).
+    The fused-banding variant additionally avoids caching the 1 KB/doc
+    signature and evaluating 32 interpreted slice+xxhash64 exprs per doc
+    (32M transient JVM arrays per 1M docs) — the signature never leaves
+    the Python worker. Token hashes are memoized per batch (Zipfian text
+    -> high hit rate).
     """
     a_params, b_params = minhash_params(num_perm, seed)
+    emit_bands = num_bands > 0
+    out_schema = "sh binary, bands array<long>" if emit_bands else "sh binary, sig array<long>"
 
-    @pandas_udf("sh binary, sig array<long>")
+    @pandas_udf(out_schema)
     def shingle_sig(texts: pd.Series) -> pd.DataFrame:
         cache: dict = {}
         sets = [shingle_hashes_python(t, k, cache) for t in texts]
@@ -138,16 +167,19 @@ def make_shingle_sig_udf(k: int, num_perm: int, seed: int):
                 for j in range(num_perm):
                     v = a_params[j] * flat + b_params[j]
                     sigs[:, j] = np.minimum.reduceat(v, starts)
-        sig_rows = sigs.view(np.int64)
         # sh ships as raw little-endian int64 bytes (sorted): a binary
         # column shuffles and Arrow-transfers at ~1/3 the cost of
         # array<long> (no per-element offsets/validity) — verify is the
         # pipeline's biggest data mover
+        sh_col = [s.view(np.int64).tobytes() for s in sets]
+        if emit_bands:
+            bands = band_hashes_numpy(sigs, num_bands, rows_per_band)
+            return pd.DataFrame(
+                {"sh": sh_col, "bands": [bands[i] for i in range(len(sets))]}
+            )
+        sig_rows = sigs.view(np.int64)
         return pd.DataFrame(
-            {
-                "sh": [s.view(np.int64).tobytes() for s in sets],
-                "sig": [sig_rows[i] for i in range(len(sets))],
-            }
+            {"sh": sh_col, "sig": [sig_rows[i] for i in range(len(sets))]}
         )
 
     return shingle_sig

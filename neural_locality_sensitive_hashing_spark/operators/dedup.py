@@ -74,17 +74,52 @@ def signatures_fused(
     ).select("doc_id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig"))
 
 
+def banded_signatures_fused(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs -> (doc_id, sh, bands) with the LSH banding fused INTO the
+    Arrow kernel: the 1 KB/doc signature never leaves the Python worker
+    and the per-doc 32x interpreted slice+xxhash64 band exprs disappear —
+    a pure byte/allocation cut on the pipeline's hottest cached table.
+    Candidate semantics are unchanged (identical docs collide per band);
+    only the band hash family differs from explode_bands, which remains
+    the sig-level API."""
+    udf = make_shingle_sig_udf(
+        cfg.shingle_k, cfg.num_perm, cfg.minhash_seed,
+        num_bands=cfg.num_bands, rows_per_band=cfg.rows_per_band,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("s")
+    ).select("doc_id", F.col("s.sh").alias("sh"), F.col("s.bands").alias("bands"))
+
+
+def explode_fused_bands(banded: DataFrame) -> DataFrame:
+    """(doc_id, bands) -> (doc_id, band, bucket) for candidate_pairs."""
+    return banded.select(
+        "doc_id", F.posexplode("bands").alias("band", "bucket")
+    )
+
+
 def minhash_dup_pairs(
     docs: DataFrame,
     cfg: DedupConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Full candidate-generation + verification -> (a, b, jaccard)."""
-    sigs = signatures_fused(docs, cfg, id_col, text_col)
-    # signatures are reused by banding AND the verify gather-join — cache once
+    """Full candidate-generation + verification -> (a, b, jaccard).
+
+    Cache lifecycle: `sigs` is persisted because banding AND the verify
+    gather-join consume it; the returned DataFrame is lazy, so the cache
+    must outlive this function. Callers that materialize the result and
+    loop (benchmarks, streaming) should release it via
+    `spark.catalog.clearCache()` or by unpersisting the plan's cached
+    ancestor — bench.py does exactly that between queries."""
+    sigs = banded_signatures_fused(docs, cfg, id_col, text_col)
     sigs = sigs.persist()
-    bands = explode_bands(sigs, cfg)
+    bands = explode_fused_bands(sigs)
     cands = candidate_pairs(bands, cfg)
     return jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
 

@@ -51,13 +51,15 @@ def main() -> None:
     from neural_locality_sensitive_hashing_spark.functions.simhash import simhash_udf
     from neural_locality_sensitive_hashing_spark.operators.candidates import (
         candidate_pairs,
-        explode_bands,
     )
     from neural_locality_sensitive_hashing_spark.operators.connected_components import (
         clusters_with_singletons,
         connected_components,
     )
-    from neural_locality_sensitive_hashing_spark.operators.dedup import signatures_fused
+    from neural_locality_sensitive_hashing_spark.operators.dedup import (
+        banded_signatures_fused,
+        explode_fused_bands,
+    )
     from neural_locality_sensitive_hashing_spark.operators.suffix import long_repeat_pairs
     from neural_locality_sensitive_hashing_spark.operators.verify import (
         jaccard_verify,
@@ -93,7 +95,7 @@ def main() -> None:
     t_all = time.time()
 
     t0 = time.time()
-    sigs = signatures_fused(pages, cfg)
+    sigs = banded_signatures_fused(pages, cfg)
     if args.with_simhash:
         from pyspark.sql import functions as F
 
@@ -104,7 +106,7 @@ def main() -> None:
         stages["signatures"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    cands = candidate_pairs(explode_bands(sigs, cfg), cfg).persist()
+    cands = candidate_pairs(explode_fused_bands(sigs), cfg).persist()
     n_cands = -1
     if not args.fast:
         n_cands = cands.count()
