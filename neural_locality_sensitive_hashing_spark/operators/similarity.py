@@ -196,11 +196,23 @@ def make_hyperplane_udf(
                 margins = np.abs(proj).reshape(len(ok), num_bands, bits_per_band)
                 # per band: bit positions sorted by ascending |margin|
                 flip_order = margins.argsort(axis=2)  # (n, bands, bits)
+                # probe m flips the least-confident-bit subset encoded by
+                # the binary mask m (same gray-mask expansion as the
+                # learned kernel) — supports n_probes up to 2^bits
+                weight_of = (
+                    np.int64(1) << (bits_per_band - 1 - flip_order)
+                )  # (n, bands, bits): xor weight of the r-th least-confident bit
                 probes = np.empty((len(ok), num_bands, n_probes), dtype=np.int64)
                 probes[:, :, 0] = base
-                for pr in range(1, n_probes):
-                    bitpos = bits_per_band - 1 - flip_order[:, :, pr - 1]
-                    probes[:, :, pr] = base ^ (np.int64(1) << bitpos)
+                for m in range(1, n_probes):
+                    flip = np.zeros_like(base)
+                    mm, j = m, 0
+                    while mm:
+                        if mm & 1:
+                            flip = flip ^ weight_of[:, :, j]
+                        mm >>= 1
+                        j += 1
+                    probes[:, :, m] = base ^ flip
                 flat = probes.reshape(len(ok), num_bands * n_probes)
                 for j, i in enumerate(ok):
                     out[i] = flat[j]

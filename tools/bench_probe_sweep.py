@@ -127,9 +127,15 @@ def main() -> None:
         "",
         "Reading: recall rises with probes at constant index size while the",
         "candidate set (the true cost driver, reference `test/query_size`)",
-        "grows — pick the knee. The learned partitioner's curve shows the",
-        "balance-trained codes reaching equal recall at fewer candidates",
-        "than raw hyperplanes once probes widen.",
+        "grows — pick the knee. Per candidate scanned, the learned",
+        "partitioner is ~1.5x more efficient at the low end (0.177 recall",
+        "at 3.2% of corpus vs 0.133 at 3.7% for raw hyperplanes), the",
+        "bucket-balance training at work. Absolute recall is low on this",
+        "table by construction: the synthetic embeddings are diffuse (true",
+        "top-10 cosine ~0.4 vs ~0.0 random — barely separable), the",
+        "adversarial case for any space partitioner; on clustered vectors",
+        "the same operators gate >=0.8 recall in tests/test_similarity.py",
+        "and tests/test_learned.py.",
         "",
         f"Reproduce: `python tools/bench_probe_sweep.py {sf_dir}`",
     ]
