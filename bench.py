@@ -37,6 +37,7 @@ HEADLINE = [
     "ann_recall_at_k",
     "learned_ann_cosine",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_fast",
     "pricing_summary",
     "top_customers",
     "user_topk_events",

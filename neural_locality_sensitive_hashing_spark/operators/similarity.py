@@ -405,7 +405,7 @@ def embedding_dup_pairs_lsh(
     emb: DataFrame,
     tau: float,
     dim: int,
-    num_bands: int = 64,
+    num_bands: int = 32,
     bits_per_band: int = 2,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -415,10 +415,12 @@ def embedding_dup_pairs_lsh(
     verify. The default 100 TB plan: no driver collect, no crossJoin.
 
     Banding math: a pair at cosine s collides in a band of r bits with
-    probability (1 − θ/π)^r, θ = arccos(s). The default (64 bands × 2
+    probability (1 − θ/π)^r, θ = arccos(s). The default (32 bands × 2
     bits) keeps the miss probability below 1e-7 down to tau = 0.4 —
     chosen so the LSH output EQUALS the exact-threshold oracle at test
-    scale. Higher taus tolerate far fewer/wider bands; tune per corpus.
+    scale. A tau this low forces coarse bands (heavy candidate fan-out);
+    realistic near-dup taus (>=0.8) support far more selective bandings —
+    tune (bands, bits) per corpus with the S-curve above.
     """
     planes = hyperplane_params(dim, num_bands, bits_per_band, seed)
     udf = make_hyperplane_udf(planes, num_bands, bits_per_band, n_probes=1)

@@ -364,7 +364,13 @@ def q_longrepeat_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
-    gh = F.transform(T.shingles(toks, LONG_REPEAT_GRAM), _h60)
+    # materialize the gram-hash array as its own projection FIRST: used
+    # inline, the md5 chain gets re-evaluated per winnow window (no CSE
+    # across lambda scopes — measured 193s vs ~4s at sf0.1)
+    g = docs.where(F.size(toks) >= LONG_REPEAT_GRAM).select(
+        "doc_id", F.transform(T.shingles(toks, LONG_REPEAT_GRAM), _h60).alias("gh")
+    )
+    gh = F.col("gh")
     m = F.size(gh)
     w = WINNOW_WINDOW
     fps = F.when(
@@ -373,10 +379,7 @@ def q_longrepeat_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), m - w + 1), lambda i: F.array_min(F.slice(gh, i, w))
         ),
     ).otherwise(gh)
-    fpe = (
-        docs.where(F.size(toks) >= LONG_REPEAT_GRAM)
-        .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
-    )
+    fpe = g.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
     l = fpe.alias("l")
     r = fpe.alias("r")
     return (
@@ -1058,6 +1061,14 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_dup_pairs_lsh(emb, EMB_DUP_TAU, dim=ANN_DIM, seed=ANN_SEED)
 
 
+def q_embedding_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The size-gated broadcast-matmul physical plan for the same query —
+    both plans are value-checked against the identical oracle, so a user
+    can pick by table size with proven-equal semantics."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.embedding_dup_pairs_broadcast(emb, EMB_DUP_TAU)
+
+
 SQL_EMBEDDING_DUP_PAIRS = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT l.vec_id AS a, r.vec_id AS b,
@@ -1251,6 +1262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_summary": q_lang_summary,
     "top_tokens": q_top_tokens,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_fast": q_embedding_dup_pairs_fast,
     "token_stats": q_token_stats,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_bruteforce_l2": q_knn_bruteforce_l2,
@@ -1282,6 +1294,7 @@ ORACLES: dict[str, str] = {
     "lang_summary": SQL_LANG_SUMMARY,
     "top_tokens": SQL_TOP_TOKENS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "embedding_dup_pairs_fast": SQL_EMBEDDING_DUP_PAIRS,
     "token_stats": SQL_TOKEN_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_bruteforce_l2": SQL_KNN_BRUTEFORCE_L2,
