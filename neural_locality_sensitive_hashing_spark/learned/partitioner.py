@@ -39,6 +39,8 @@ def train_partitioner(
     seed: int = 42,
     negative_mode: str = "random",
     pos_mask_k: int = 8,
+    objective: str = "contrastive",
+    label_bernoulli_p: float | None = None,
 ) -> dict[str, np.ndarray]:
     """Fit (W, b) on a sample matrix x (n, d). Positive pairs = exact
     nearest neighbor of each row within the sample (the reference's
@@ -50,7 +52,24 @@ def train_partitioner(
     top-``pos_mask_k`` neighborhood (the reference masks its precomputed
     kNN set) so likely-positives are never mined as negatives. Adam with
     AMSGrad, mirroring the reference's fit loop
-    (``nlsh/trainers/base.py:68-79``)."""
+    (``nlsh/trainers/base.py:68-79``).
+
+    ``objective``:
+      * ``contrastive`` (default) — independent pull ||p_a − p_pos||² +
+        hinge push on negatives (siamese semantics,
+        ``nlsh/trainers/siamese.py:9-20``).
+      * ``triplet`` — the reference's actual shared-anchor form
+        (``nlsh/trainers/triplet.py:16-26``):
+        mean(clamp(d(a,p) − d(a,n) + margin, 0)) on code probabilities;
+        both terms gate on the SAME per-anchor hinge activity.
+
+    ``label_bernoulli_p`` (R4, ``nlsh/trainers/siamese.py:45-46``): when
+    set, each anchor draws label ~ Bernoulli(p) per epoch and contributes
+    ONLY its pull term (label=1) or ONLY its push term (label=0) — the
+    reference's sampled-label contrastive batch construction. Contrastive
+    objective only."""
+    if objective not in ("contrastive", "triplet"):
+        raise ValueError(f"unknown objective {objective!r}")
     rng = np.random.default_rng(seed)
     n, d = x.shape
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -88,16 +107,34 @@ def train_partitioner(
         p = _sigmoid(z)
         dp = np.zeros_like(p)
 
-        # pull: ||p_i - p_pos||^2
         diff_p = p - p[pos]
-        dp += 2 * diff_p / n
-        np.add.at(dp, pos, -2 * diff_p / n)
-        # push: max(0, margin - ||p_i - p_neg||^2)
         diff_n = p - p[neg]
-        dist_n = (diff_n**2).sum(axis=1)
-        active = (dist_n < margin).astype(np.float64)[:, None]
-        dp += -2 * diff_n * active / n
-        np.add.at(dp, neg, 2 * diff_n * active / n)
+        if objective == "triplet":
+            # shared-anchor hinge: clamp(d(a,p) - d(a,n) + margin, 0) —
+            # one activity gate drives BOTH the pull and the push
+            dist_p = (diff_p**2).sum(axis=1)
+            dist_n = (diff_n**2).sum(axis=1)
+            active = (dist_p - dist_n + margin > 0).astype(np.float64)[:, None]
+            dp += 2 * diff_p * active / n
+            np.add.at(dp, pos, -2 * diff_p * active / n)
+            dp += -2 * diff_n * active / n
+            np.add.at(dp, neg, 2 * diff_n * active / n)
+        else:
+            if label_bernoulli_p is not None:
+                lbl = (rng.random(n) < label_bernoulli_p).astype(np.float64)[:, None]
+            else:
+                lbl = None
+            # pull: ||p_i - p_pos||^2
+            pull_g = 2 * diff_p / n if lbl is None else 2 * diff_p * lbl / n
+            dp += pull_g
+            np.add.at(dp, pos, -pull_g)
+            # push: max(0, margin - ||p_i - p_neg||^2)
+            dist_n = (diff_n**2).sum(axis=1)
+            active = (dist_n < margin).astype(np.float64)[:, None]
+            if lbl is not None:
+                active = active * (1.0 - lbl)
+            dp += -2 * diff_n * active / n
+            np.add.at(dp, neg, 2 * diff_n * active / n)
         # balance: (mean_i p_ik - 0.5)^2 per bit
         mean_p = p.mean(axis=0)
         dp += balance_weight * 2 * (mean_p - 0.5)[None, :] / n
@@ -195,6 +232,12 @@ def make_learned_code_udf(weights: dict[str, np.ndarray], n_probes: int = 1):
     broadcast-on-pickle; the per-batch work is one matmul."""
     w = weights["W"].astype(np.float64)
     b = weights["b"].astype(np.float64)
+    h = w.shape[1]
+    if n_probes > (1 << h):
+        raise ValueError(
+            f"n_probes={n_probes} exceeds 2^n_bits={1 << h}: an h-bit code "
+            "only has 2^h distinct probes"
+        )
 
     @pandas_udf(ArrayType(LongType()))
     def codes(vecs: pd.Series) -> pd.Series:

@@ -207,11 +207,29 @@ def candidate_pairs_two_sided(
 
     The streaming increment's new×all probe (and any query-vs-corpus J1
     join): an equi-join on (band, bucket) between two band tables — never
-    the all-accumulated self-join. Skew on the right (corpus) side is
-    handled by AQE skew-join; output is already id-ordered + distinct.
+    the all-accumulated self-join.
+
+    Skew: AQE skew-join only SPLITS oversized partitions, it does not
+    reduce pair count — a degenerate (boilerplate) bucket in the
+    accumulated store would otherwise emit O(new_in_bucket × old_bucket)
+    pairs, growing without bound as the store grows. The right (corpus)
+    side is therefore capped at ``bucket_pair_cap`` members per
+    (band, bucket) via a rank filter on doc_id: every probe links to the
+    same lowest-id anchor members, which the batch path's chain+tree
+    already connected among themselves — connectivity is preserved, pair
+    count per probe is bounded. (Caveat, mirrored from the batch cap: a
+    true dup whose only collision is an over-cap bucket verifies only if
+    it also matches an anchor — boilerplate buckets are mutually similar,
+    so this holds in practice and is the same trade the batch path makes.)
     """
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    r = (
+        right_bands.select("band", "bucket", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cfg.bucket_pair_cap)
+        .select("band", "bucket", F.col("doc_id").alias("r_id"))
+    )
     l = left_bands.select("band", "bucket", F.col("doc_id").alias("l_id"))
-    r = right_bands.select("band", "bucket", F.col("doc_id").alias("r_id"))
     return (
         l.join(r, ["band", "bucket"])
         .where(F.col("l_id") != F.col("r_id"))

@@ -23,9 +23,6 @@ from neural_locality_sensitive_hashing_spark.learned.partitioner import (
 )
 from neural_locality_sensitive_hashing_spark.operators.candidates import candidate_pairs
 from neural_locality_sensitive_hashing_spark.operators.dedup import shingle_documents
-from neural_locality_sensitive_hashing_spark.operators.similarity import (
-    cosine_similarity,
-)
 from neural_locality_sensitive_hashing_spark.operators.verify import jaccard_verify
 
 
@@ -43,8 +40,9 @@ def fit_partitioner_on_sample(
     The sample is a seeded Bernoulli `sample()` over every partition —
     a bare `.limit(n)` would take the first partitions only, training the
     partitioner on one shard's distribution (biased under clustered
-    layouts). The fraction is derived from a cheap count of the non-null
-    vector column (metadata-only scan at parquet sources)."""
+    layouts). The fraction is derived from a count() of the non-null
+    vector column — a real (cheap, single-column) scan, not a
+    metadata-only lookup, since the null filter must inspect values."""
     vecs = df.select(vec_col).where(F.col(vec_col).isNotNull())
     n = vecs.count()
     if n > sample_rows:
@@ -150,17 +148,25 @@ def learned_ann(
     """ANN search with the learned partitioner — the reference's exact query
     path (multi-probe query codes vs single-code index,
     ``nlsh/indexer.py:36-38,56-96``): corpus hashed once, queries probe
-    n_probes buckets, exact cosine re-ranks."""
+    n_probes buckets, exact cosine re-ranks.
+
+    Shuffle discipline (J3, same shape as ``ivf_ann``): the explodes carry
+    (id, bucket) ONLY — the query side would otherwise duplicate its
+    vector ×n_probes and the (query_id, neighbor_id) dedup exchange would
+    be ~17× wider than ids-only. Vectors are gathered back AFTER the
+    dedup (query side broadcast) and an Arrow kernel re-ranks."""
+    from neural_locality_sensitive_hashing_spark.operators.similarity import (
+        _cosine_udf,
+    )
+
     corpus_codes = make_learned_code_udf(weights, n_probes=1)
     query_codes = make_learned_code_udf(weights, n_probes=n_probes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
         F.explode(corpus_codes(F.col(vec_col))).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
         F.explode(query_codes(F.col(vec_col))).alias("bucket"),
     )
     cand = (
@@ -168,10 +174,16 @@ def learned_ann(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_udf(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return sim.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)

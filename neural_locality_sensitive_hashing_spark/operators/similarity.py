@@ -174,6 +174,11 @@ def make_hyperplane_udf(
     (``nlsh/hashings.py:77-83``): low |margin| = least-confident sign.
     Output length is num_bands * n_probes; band index = position // n_probes.
     """
+    if n_probes > (1 << bits_per_band):
+        raise ValueError(
+            f"n_probes={n_probes} exceeds 2^bits_per_band={1 << bits_per_band}: "
+            "a band of b bits only has 2^b distinct codes to probe"
+        )
     p = planes.T.copy()  # (dim, nbits)
     weights = (1 << np.arange(bits_per_band - 1, -1, -1, dtype=np.int64))  # MSB-first
 
@@ -401,12 +406,44 @@ def ann_lsh_l2(
 # ---------------------------------------------------------------------------
 
 
+def derive_banding(
+    tau: float, miss_prob: float = 1e-7, max_bands: int = 32
+) -> tuple[int, int]:
+    """(num_bands, bits_per_band) from the hyperplane S-curve: a pair at
+    cosine tau agrees on one random-hyperplane bit with probability
+    p = 1 − arccos(tau)/π and collides in a b-bit band with p^b; B bands
+    miss it with (1 − p^b)^B. Returns the LARGEST b whose required
+    B = ceil(ln(miss_prob)/ln(1 − p^b)) fits in max_bands — maximal
+    selectivity (random-pair collision mass scales ~(1/2)^b per band) at
+    the guaranteed recall floor. tau=0.4 derives (32, 2) — the round-2
+    hardwired worst case; tau=0.8 derives (32, 4): 4× fewer random
+    collisions per band at the same band count."""
+    p = 1.0 - np.arccos(np.clip(tau, -1.0, 1.0)) / np.pi
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"tau={tau} gives degenerate bit-agreement p={p}")
+    best: tuple[int, int] | None = None
+    for bits in range(1, 17):
+        pb = p**bits
+        if pb >= 1.0:
+            continue
+        bands = int(np.ceil(np.log(miss_prob) / np.log(1.0 - pb)))
+        if bands <= max_bands:
+            best = (bands, bits)
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no banding with <= {max_bands} bands reaches miss_prob {miss_prob} at tau={tau}"
+        )
+    return best
+
+
 def embedding_dup_pairs_lsh(
     emb: DataFrame,
     tau: float,
     dim: int,
-    num_bands: int = 32,
-    bits_per_band: int = 2,
+    num_bands: int | None = None,
+    bits_per_band: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -414,14 +451,17 @@ def embedding_dup_pairs_lsh(
     """All pairs with cosine >= tau via hyperplane-LSH self-join + exact
     verify. The default 100 TB plan: no driver collect, no crossJoin.
 
-    Banding math: a pair at cosine s collides in a band of r bits with
-    probability (1 − θ/π)^r, θ = arccos(s). The default (32 bands × 2
-    bits) keeps the miss probability below 1e-7 down to tau = 0.4 —
-    chosen so the LSH output EQUALS the exact-threshold oracle at test
-    scale. A tau this low forces coarse bands (heavy candidate fan-out);
-    realistic near-dup taus (>=0.8) support far more selective bandings —
-    tune (bands, bits) per corpus with the S-curve above.
+    Banding is DERIVED from tau via the S-curve (``derive_banding``) unless
+    both knobs are passed explicitly: the per-pair miss probability stays
+    below 1e-7 at the given tau, so the LSH output EQUALS the
+    exact-threshold oracle at test scale, while higher taus automatically
+    get more selective bands (tau=0.4 → 32×2, tau=0.8 → 32×4 with ~4×
+    less random-collision fan-out per band).
     """
+    if num_bands is None or bits_per_band is None:
+        if (num_bands is None) != (bits_per_band is None):
+            raise ValueError("pass both num_bands and bits_per_band, or neither")
+        num_bands, bits_per_band = derive_banding(tau)
     planes = hyperplane_params(dim, num_bands, bits_per_band, seed)
     udf = make_hyperplane_udf(planes, num_bands, bits_per_band, n_probes=1)
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from neural_locality_sensitive_hashing_spark.config import DedupConfig
 from neural_locality_sensitive_hashing_spark.functions.simhash import simhash_udf
 from neural_locality_sensitive_hashing_spark.operators.candidates import (
+    bucket_stats,
     candidate_pairs,
     explode_bands,
 )
@@ -129,23 +130,32 @@ class DedupPipeline:
 
         # S8 metrics sink: one quality/efficiency row set per run, next to
         # the per-partition lineage (the reference logs recall/query_size/
-        # bucket stats every eval — nlsh/trainers/base.py:87-108)
+        # bucket stats every eval — nlsh/trainers/base.py:87-108).
+        # A fully-cached resume recomputes nothing, so it also re-logs
+        # nothing: the run_id (clusters fingerprint) already has its rows.
+        if all(s.cached for s in report.stages):
+            return clusters, report
         agg = dups.agg(
             F.count("*").alias("n_pairs"), F.avg("jaccard").alias("avg_j")
         ).first()
         n_docs = signatures.count()
         n_clusters = clusters.select("cluster_id").distinct().count()
-        self.catalog.write_metrics(
-            {
-                "n_docs": float(n_docs),
-                "dup_pairs": float(agg["n_pairs"]),
-                "avg_jaccard": float(agg["avg_j"] or 0.0),
-                "n_clusters": float(n_clusters),
-                "candidate_pairs": float(cands.count()),
-                "wall_sec": round(sum(s.wall_sec for s in report.stages), 3),
-            },
-            run_id=self._fps["clusters"],
-        )
+        metrics = {
+            "n_docs": float(n_docs),
+            "dup_pairs": float(agg["n_pairs"]),
+            "avg_jaccard": float(agg["avg_j"] or 0.0),
+            "n_clusters": float(n_clusters),
+            "candidate_pairs": float(cands.count()),
+            "wall_sec": round(sum(s.wall_sec for s in report.stages), 3),
+        }
+        # per-band candidate fan-out (bucket_stats pair_mass): makes skew
+        # drift auditable across runs — a band whose pair_mass balloons is
+        # the one a boilerplate template landed in
+        for row in bucket_stats(explode_bands(signatures, cfg)).collect():
+            band = int(row["band"])
+            metrics[f"band_{band:02d}_pair_mass"] = float(row["pair_mass"])
+            metrics[f"band_{band:02d}_max_bucket"] = float(row["max_bucket"])
+        self.catalog.write_metrics(metrics, run_id=self._fps["clusters"])
         return clusters, report
 
     # -- resume helpers -------------------------------------------------------

@@ -1053,12 +1053,25 @@ EMB_DUP_TAU = 0.4  # synthetic embeddings are diffuse (max pairwise ~0.51)
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH self-join +
     exact-cosine verify — the default 100 TB plan (no driver collect, no
-    crossJoin). The 64x2 banding keeps the per-pair miss probability below
-    1e-7 at tau=0.4, so the output equals the exact-threshold oracle.
+    crossJoin). Banding is derived from tau by the S-curve
+    (`derive_banding`: tau=0.4 → 32 bands × 2 bits, per-pair miss < 1e-7),
+    so the output equals the exact-threshold oracle.
     `operators.similarity.embedding_dup_pairs_broadcast` remains as an
     explicitly size-gated matmul fast path for small dimension tables."""
     emb = load(spark, sf_dir, "embeddings")
     return S.embedding_dup_pairs_lsh(emb, EMB_DUP_TAU, dim=ANN_DIM, seed=ANN_SEED)
+
+
+EMB_DUP_TAU_HI = 0.8  # realistic near-dup threshold: selective 32x4 banding
+
+
+def q_embedding_dup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query at a realistic near-dup threshold (tau=0.8): the derived
+    banding tightens to 32 bands × 4 bits, collapsing the random-collision
+    fan-out ~4× per band while keeping the per-pair miss below 1e-7 — the
+    adaptive-banding scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.embedding_dup_pairs_lsh(emb, EMB_DUP_TAU_HI, dim=ANN_DIM, seed=ANN_SEED)
 
 
 def q_embedding_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,6 +1092,18 @@ FROM e l JOIN e r ON l.vec_id < r.vec_id
 WHERE round(list_dot_product(l.v, r.v)
             / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
       >= {EMB_DUP_TAU}
+"""
+
+SQL_EMBEDDING_DUP_PAIRS_HI = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_dot_product(l.v, r.v)
+             / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+         AS cosine
+FROM e l JOIN e r ON l.vec_id < r.vec_id
+WHERE round(list_dot_product(l.v, r.v)
+            / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+      >= {EMB_DUP_TAU_HI}
 """
 
 # GPT2-style pretokenizer shape: word pieces OR single non-space symbols
@@ -1262,6 +1287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_summary": q_lang_summary,
     "top_tokens": q_top_tokens,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_hi": q_embedding_dup_pairs_hi,
     "embedding_dup_pairs_fast": q_embedding_dup_pairs_fast,
     "token_stats": q_token_stats,
     "knn_bruteforce": q_knn_bruteforce,
@@ -1294,6 +1320,7 @@ ORACLES: dict[str, str] = {
     "lang_summary": SQL_LANG_SUMMARY,
     "top_tokens": SQL_TOP_TOKENS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "embedding_dup_pairs_hi": SQL_EMBEDDING_DUP_PAIRS_HI,
     "embedding_dup_pairs_fast": SQL_EMBEDDING_DUP_PAIRS,
     "token_stats": SQL_TOKEN_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,

@@ -36,9 +36,22 @@ def _data_path(base: str, stage: str) -> str:
 class CheckpointCatalog:
     """Filesystem-backed stage snapshot catalog with lineage metrics."""
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        iceberg_table_prefix: str | None = None,
+    ):
+        """``iceberg_table_prefix`` (e.g. ``"cat.db"``) switches snapshot
+        writes to the Iceberg DataFrameWriterV2 path:
+        ``df.writeTo(f"{prefix}.{stage}").createOrReplace()``. Requires an
+        Iceberg runtime jar + a configured ``spark.sql.catalog.<cat>``;
+        absent those, write_snapshot raises a clean RuntimeError instead of
+        a deep Spark stack. Default (None) keeps the parquet + _meta.json
+        sidecar layout."""
         self.spark = spark
         self.base = base_dir
+        self.iceberg_table_prefix = iceberg_table_prefix
         os.makedirs(base_dir, exist_ok=True)
 
     # -- snapshots ----------------------------------------------------------
@@ -63,6 +76,18 @@ class CheckpointCatalog:
         the upstream lineage is cut — the checkpoint role in the fixpoint
         loop)."""
         t0 = time.time()
+        if self.iceberg_table_prefix is not None:
+            table = f"{self.iceberg_table_prefix}.{stage}"
+            try:
+                df.writeTo(table).using("iceberg").createOrReplace()
+            except Exception as e:  # missing jar / unconfigured catalog
+                raise RuntimeError(
+                    f"Iceberg snapshot write to {table!r} failed — the "
+                    "Iceberg runtime jar and spark.sql.catalog."
+                    f"{self.iceberg_table_prefix.split('.')[0]} must be "
+                    "configured; unset iceberg_table_prefix to use the "
+                    "parquet sidecar layout"
+                ) from e
         stage_dir = os.path.join(self.base, stage)
         if os.path.exists(stage_dir):
             shutil.rmtree(stage_dir)

@@ -59,8 +59,10 @@ def run_level(level: int, pages: str, zip_path: str, extra: list[str]) -> dict:
     # virtual disk whose single queue serializes shuffle I/O across all
     # executors (measured: the single biggest scaling killer on this VM);
     # on a real cluster each executor has its own local disks
-    scratch = "/dev/shm/spark-scratch" if os.path.isdir("/dev/shm") else "/tmp"
-    os.makedirs(scratch, exist_ok=True)
+    from neural_locality_sensitive_hashing_spark.session import _tmpfs_scratch
+
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")  # benchmark harness opts in
+    scratch = _tmpfs_scratch() or "/tmp"
     for t in range(TRIALS):
         out_json = f"/tmp/nlsh_scale_{MODE}_{level}_{t}.json"
         cmd = [
