@@ -37,6 +37,7 @@ HEADLINE = [
     "ann_recall_at_k",
     "learned_ann_cosine",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_hi",
     "embedding_dup_pairs_fast",
     "pricing_summary",
     "top_customers",
@@ -83,6 +84,20 @@ def main() -> None:
     docs_per_sec = round(n_docs / wall, 1)
     print(f"# webtext_dedup: {wall:.1f}s for {n_docs} docs = {docs_per_sec} docs/s",
           file=sys.stderr)
+    spark.catalog.clearCache()
+
+    # same pipeline with the two-tier verify screen + 4-byte shingle gather
+    # (the scale configuration used by tools/bench_scaling.py)
+    t0 = time.time()
+    minhash_dedup_clusters(
+        pages, DedupConfig(verify_screen=True, shingle_hash_bytes=4)
+    ).count()
+    wall_s = time.time() - t0
+    timings["webtext_dedup_screened"] = round(wall_s, 3)
+    print(
+        f"# webtext_dedup_screened: {wall_s:.1f}s = {n_docs / wall_s:.1f} docs/s",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

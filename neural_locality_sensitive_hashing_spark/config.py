@@ -34,6 +34,28 @@ class DedupConfig:
     # verification
     jaccard_threshold: float = 0.7
 
+    # two-tier verify screen (the 100 TB bytes-cut): candidate pairs are
+    # first screened on a `screen_perms`-slot MinHash-prefix estimate
+    # (4 B/slot) — est < tau - screen_reject_sigmas*sigma rejects,
+    # est >= tau + screen_accept_sigmas*sigma accepts with the estimate as
+    # the reported jaccard, and only the middle band gathers full shingle
+    # sets for exact Jaccard. sigma = sqrt(tau*(1-tau)/screen_perms).
+    # Deterministic (pure function of the signatures) but NOT exact at the
+    # margins: binomial miss probability at J == tau is ~1e-3 (see
+    # verify.screen_counts) — inside the >=0.99 dup-pair recall budget.
+    # Off by default so oracle-checked queries stay exactly equal to the
+    # exact-threshold SQL.
+    verify_screen: bool = False
+    screen_perms: int = 64
+    screen_reject_sigmas: float = 3.0
+    screen_accept_sigmas: float = 2.0
+
+    # shingle hash width (bytes of the binary `sh` representation): 8 =
+    # full 64-bit (exact, oracle-replayable); 4 = truncated 32-bit —
+    # halves the verify gather bytes; per-pair Jaccard perturbation is
+    # O(|A||B|/2^32) ≈ 1e-5 for web pages (cross-doc accidental matches)
+    shingle_hash_bytes: int = 8
+
     # SimHash secondary verifier
     simhash_bits: int = 64
     simhash_hamming_max: int = 3
@@ -64,6 +86,12 @@ class DedupConfig:
                 f"num_bands({self.num_bands}) * rows_per_band({self.rows_per_band})"
                 f" != num_perm({self.num_perm})"
             )
+        if self.screen_perms > self.num_perm:
+            raise ValueError(
+                f"screen_perms({self.screen_perms}) > num_perm({self.num_perm})"
+            )
+        if self.shingle_hash_bytes not in (4, 8):
+            raise ValueError("shingle_hash_bytes must be 4 or 8")
 
     @property
     def lsh_s_curve_threshold(self) -> float:

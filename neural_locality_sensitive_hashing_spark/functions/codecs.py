@@ -1,0 +1,285 @@
+"""Real (library-free) media codecs for the multimodal columns.
+
+The sandbox ships no PIL/libav, but PNG and WAV are decodable with the
+stdlib alone — zlib inflate + filter reconstruction for PNG, RIFF chunk
+walk + PCM frombuffer for WAV — so those two formats get REAL decode
+paths; PIL is tried first when present (`decode_image_pixels`). Video
+container demuxing stays a documented stub in functions/multimodal.py.
+
+All functions are deterministic and None-safe: unrecognized payloads
+return None and the caller falls back to the stub featureizer (tagged so
+the fallback is observable, never silent).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+
+
+def parse_png_header(payload: bytes) -> dict | None:
+    """IHDR fields of a PNG payload, or None if not a PNG."""
+    if len(payload) < 33 or not payload.startswith(PNG_SIG):
+        return None
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": color,
+        "channels": _PNG_CHANNELS.get(color),
+        "interlaced": bool(interlace),
+        "compression": comp,
+        "filter_method": filt,
+    }
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            break
+
+
+def _unfilter_png(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-row filters (0=None 1=Sub 2=Up 3=Average 4=Paeth)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray | None:
+    """(h, w, channels) uint8 pixels of an 8-bit non-interlaced PNG —
+    a REAL decode (zlib inflate + filter reconstruction), stdlib only.
+    Returns None for non-PNG or unsupported variants (16-bit, palette,
+    interlaced)."""
+    hdr = parse_png_header(payload)
+    if (
+        hdr is None
+        or hdr["bit_depth"] != 8
+        or hdr["channels"] is None
+        or hdr["interlaced"]
+    ):
+        return None
+    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    w, h, ch = hdr["width"], hdr["height"], hdr["channels"]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    return _unfilter_png(raw, h, stride, ch).reshape(h, w, ch)
+
+
+def decode_image_pixels(payload: bytes) -> np.ndarray | None:
+    """Best-available image decode: PIL when importable (any format),
+    else the pure-python PNG path."""
+    try:  # optional dependency — absent in this sandbox
+        import io
+
+        from PIL import Image  # type: ignore
+
+        with Image.open(io.BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("RGBA") if im.mode == "P" else im)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
+    except Exception:  # noqa: BLE001 — no PIL or not an image it knows
+        return decode_png_pixels(payload)
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """fmt-chunk fields + data size of a RIFF/WAVE payload, or None."""
+    if len(payload) < 44 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt: dict | None = None
+    data_size = None
+    data_off = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt " and size >= 16:
+            audio_fmt, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+            fmt = {
+                "audio_format": audio_fmt,
+                "channels": ch,
+                "sample_rate": rate,
+                "bits_per_sample": bits,
+            }
+        elif cid == b"data":
+            data_size = size
+            data_off = pos + 8
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        return None
+    bytes_per_frame = fmt["channels"] * fmt["bits_per_sample"] // 8
+    fmt["data_offset"] = data_off
+    fmt["data_size"] = data_size
+    fmt["n_frames"] = data_size // bytes_per_frame if bytes_per_frame else 0
+    return fmt
+
+
+def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """(samples float64 in [-1, 1] shaped (n, channels), sample_rate) of a
+    PCM 16-bit WAV — a REAL decode. None for non-WAV / non-PCM16."""
+    hdr = parse_wav_header(payload)
+    if hdr is None or hdr["audio_format"] != 1 or hdr["bits_per_sample"] != 16:
+        return None
+    off, size, ch = hdr["data_offset"], hdr["data_size"], hdr["channels"]
+    n = min(size, len(payload) - off) // 2
+    pcm = np.frombuffer(payload, dtype="<i2", count=n, offset=off)
+    n_frames = len(pcm) // ch
+    return (
+        pcm[: n_frames * ch].reshape(n_frames, ch).astype(np.float64) / 32768.0,
+        hdr["sample_rate"],
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal 8-bit non-interlaced PNG encoder (filter 0 rows) — the
+    inverse of decode_png_pixels, for deterministic test/datagen media."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal PCM-16 WAV encoder — inverse of decode_wav_samples."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(s * 32768.0, -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    ch = s.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def image_feature(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic feature from decoded pixels: per-channel moments +
+    16-bin gray histogram + 4x4 downsampled gray thumbnail, L2-normalized."""
+    px = pixels.astype(np.float64)
+    gray = px[:, :, : min(3, px.shape[2])].mean(axis=2)
+    chans = px.reshape(-1, px.shape[2])
+    mom = np.concatenate([chans.mean(axis=0)[:4], chans.std(axis=0)[:4]])
+    mom = np.pad(mom, (0, 8 - len(mom)))
+    hist, _ = np.histogram(gray, bins=16, range=(0, 255))
+    hist = hist / max(gray.size, 1)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 5, dtype=int)
+    xs = np.linspace(0, w, 5, dtype=int)
+    thumb = np.array(
+        [
+            gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+            for i in range(4)
+            for j in range(4)
+        ]
+    ) / 255.0
+    v = np.concatenate([mom / 255.0, hist, thumb])[:dim]
+    v = np.pad(v, (0, dim - len(v)))
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
+
+
+def audio_feature(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """Deterministic feature from PCM: RMS, zero-crossing rate, peak,
+    mean + 12 log-spaced FFT band magnitudes + channel count, padded."""
+    mono = samples.mean(axis=1)
+    if len(mono) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    rms = float(np.sqrt((mono**2).mean()))
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if len(mono) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono[: 1 << 14]))
+    edges = np.unique(
+        np.geomspace(1, max(len(spec) - 1, 2), 13).astype(int)
+    )
+    bands = np.array(
+        [spec[edges[i] : edges[i + 1]].mean() if edges[i] < edges[i + 1] else 0.0
+         for i in range(len(edges) - 1)]
+    )
+    bands = bands / (bands.max() + 1e-12)
+    v = np.concatenate(
+        [[rms, zcr, float(np.abs(mono).max()), float(mono.mean()),
+          samples.shape[1] / 8.0, min(rate, 96000) / 96000.0], bands]
+    )[:dim]
+    v = np.pad(v, (0, dim - len(v)))
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)

@@ -132,10 +132,23 @@ def band_hashes_numpy(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> n
 
 
 def make_shingle_sig_udf(
-    k: int, num_perm: int, seed: int, num_bands: int = 0, rows_per_band: int = 0
+    k: int,
+    num_perm: int,
+    seed: int,
+    num_bands: int = 0,
+    rows_per_band: int = 0,
+    sig_prefix_perms: int = 0,
+    shingle_hash_bytes: int = 8,
 ):
     """Fused text -> struct(sh binary, sig array<long>) pandas UDF — or,
     with banding params set, text -> struct(sh binary, bands array<long>).
+
+    ``sig_prefix_perms`` > 0 (banded mode) adds a ``sigp`` binary column:
+    the first P minhash values truncated to uint32 LE (4 B/slot) — the
+    verify screen's estimator payload, ~5x lighter than the shingle set.
+    ``shingle_hash_bytes=4`` stores ``sh`` as truncated uint32 (sorted,
+    re-uniqued): halves the exact-verify gather bytes; Jaccard
+    perturbation is O(|A||B|/2^32) per pair.
 
     One Arrow pass does tokenize + shingle + MinHash (+ banding) entirely
     in the Python worker (numpy): measured ~2.5x less total CPU than the
@@ -150,7 +163,13 @@ def make_shingle_sig_udf(
     """
     a_params, b_params = minhash_params(num_perm, seed)
     emit_bands = num_bands > 0
-    out_schema = "sh binary, bands array<long>" if emit_bands else "sh binary, sig array<long>"
+    emit_prefix = emit_bands and sig_prefix_perms > 0
+    if emit_bands:
+        out_schema = "sh binary, bands array<long>"
+        if emit_prefix:
+            out_schema += ", sigp binary"
+    else:
+        out_schema = "sh binary, sig array<long>"
 
     @pandas_udf(out_schema)
     def shingle_sig(texts: pd.Series) -> pd.DataFrame:
@@ -171,12 +190,20 @@ def make_shingle_sig_udf(
         # column shuffles and Arrow-transfers at ~1/3 the cost of
         # array<long> (no per-element offsets/validity) — verify is the
         # pipeline's biggest data mover
-        sh_col = [s.view(np.int64).tobytes() for s in sets]
+        if shingle_hash_bytes == 4:
+            sh_col = [
+                np.unique((s >> np.uint64(32)).astype(np.uint32)).tobytes()
+                for s in sets
+            ]
+        else:
+            sh_col = [s.view(np.int64).tobytes() for s in sets]
         if emit_bands:
             bands = band_hashes_numpy(sigs, num_bands, rows_per_band)
-            return pd.DataFrame(
-                {"sh": sh_col, "bands": [bands[i] for i in range(len(sets))]}
-            )
+            cols = {"sh": sh_col, "bands": [bands[i] for i in range(len(sets))]}
+            if emit_prefix:
+                pref = sigs[:, :sig_prefix_perms].astype(np.uint32)  # low 32 bits
+                cols["sigp"] = [pref[i].tobytes() for i in range(len(sets))]
+            return pd.DataFrame(cols)
         sig_rows = sigs.view(np.int64)
         return pd.DataFrame(
             {"sh": sh_col, "sig": [sig_rows[i] for i in range(len(sets))]}

@@ -1,10 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
-`mapInPandas` iterator signature, partition-preserving metadata extraction —
-while the actual codec work is STUBBED behind deterministic fakes (the
-sandbox ships no image/audio libraries). Swap `_fake_decode_*` for a real
-decoder (PIL/libav) without touching any Spark plumbing.
+`mapInPandas` iterator signature, partition-preserving metadata extraction.
+Decode is tiered per payload (functions/codecs.py):
+
+    1. REAL stdlib decoders — pure-python PNG (zlib inflate + filter
+       reconstruction) and PCM-16 WAV — tried first so PNG/WAV features
+       are identical with or without optional libraries installed,
+    2. PIL when importable (images in other formats),
+    3. the deterministic `_fake_decode_*` stub for everything else
+       (video container demux needs libav, absent here).
+
+Which tier fired is observable in the ``decoder`` output column — the
+fallback is never silent.
 
 Media rows use the typed layout:
     media(media_id BIGINT, kind STRING, payload BINARY, meta STRING-json)
@@ -38,8 +46,28 @@ MEDIA_FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("feature", ArrayType(FloatType())),
         StructField("frame_count", LongType()),
+        StructField("decoder", StringType()),
     ]
 )
+
+
+def _decode_features(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
+    """(feature, decoder-tag): real decode when the format allows, stub
+    otherwise. Tags: 'pil' / 'real-png' / 'real-wav' / 'stub'."""
+    from neural_locality_sensitive_hashing_spark.functions import codecs
+
+    if kind == "image":
+        px = codecs.decode_png_pixels(payload)
+        if px is not None:
+            return codecs.image_feature(px, FEATURE_DIM), "real-png"
+        px = codecs.decode_image_pixels(payload)
+        if px is not None:
+            return codecs.image_feature(px, FEATURE_DIM), "pil"
+    elif kind == "audio":
+        dec = codecs.decode_wav_samples(payload)
+        if dec is not None:
+            return codecs.audio_feature(dec[0], dec[1], FEATURE_DIM), "real-wav"
+    return _fake_decode_features(payload, kind), "stub"
 
 
 def _fake_decode_features(payload: bytes, kind: str) -> np.ndarray:
@@ -72,9 +100,12 @@ def decode_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
         for pdf in batches:
             feats = []
             frames = []
+            decoders = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload) if payload is not None else b""
-                feats.append(_fake_decode_features(raw, kind))
+                f, tag = _decode_features(raw, kind)
+                feats.append(f)
+                decoders.append(tag)
                 frames.append(_fake_frame_count(raw, kind))
             yield pd.DataFrame(
                 {
@@ -83,6 +114,7 @@ def decode_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
                     "feature": feats,
                     "frame_count": frames,
+                    "decoder": decoders,
                 }
             )
 
@@ -127,14 +159,30 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def generate_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests."""
+def generate_media(spark, n: int, seed: int = 42, real_fraction: float = 0.5) -> DataFrame:
+    """Deterministic synthetic media table for tests: ``real_fraction`` of
+    image/audio rows carry REAL payloads (valid PNG / PCM-16 WAV built by
+    the codecs module's encoders) so the real decode tier is exercised;
+    the rest are opaque random bytes that exercise the stub tier."""
+    from neural_locality_sensitive_hashing_spark.functions.codecs import (
+        encode_png,
+        encode_wav,
+    )
+
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[int(rng.integers(0, 3))]
-        payload = rng.bytes(int(rng.integers(64, 16384)))
+        if kind != "video" and rng.random() < real_fraction:
+            if kind == "image":
+                h, w, ch = int(rng.integers(4, 24)), int(rng.integers(4, 24)), 3
+                payload = encode_png(rng.integers(0, 256, (h, w, ch), dtype=np.uint8))
+            else:
+                samples = rng.standard_normal((int(rng.integers(64, 2048)), 1)) * 0.2
+                payload = encode_wav(samples, rate=8000)
+        else:
+            payload = rng.bytes(int(rng.integers(64, 16384)))
         meta = json.dumps(
             {"width": int(rng.integers(16, 4096)), "height": int(rng.integers(16, 4096)),
              "codec": kind[:3]}

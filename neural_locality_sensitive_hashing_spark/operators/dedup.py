@@ -30,6 +30,7 @@ from neural_locality_sensitive_hashing_spark.operators.connected_components impo
 )
 from neural_locality_sensitive_hashing_spark.operators.verify import (
     jaccard_verify,
+    jaccard_verify_screened,
     simhash_verify,
 )
 
@@ -68,7 +69,10 @@ def signatures_fused(
     interpreted higher-order functions). Preferred by the pipeline; the
     native shingle_set/minhash pair remains for composability and the
     string-shingle driver queries."""
-    udf = make_shingle_sig_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+    udf = make_shingle_sig_udf(
+        cfg.shingle_k, cfg.num_perm, cfg.minhash_seed,
+        shingle_hash_bytes=cfg.shingle_hash_bytes,
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("s")
     ).select("doc_id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig"))
@@ -90,10 +94,15 @@ def banded_signatures_fused(
     udf = make_shingle_sig_udf(
         cfg.shingle_k, cfg.num_perm, cfg.minhash_seed,
         num_bands=cfg.num_bands, rows_per_band=cfg.rows_per_band,
+        sig_prefix_perms=cfg.screen_perms if cfg.verify_screen else 0,
+        shingle_hash_bytes=cfg.shingle_hash_bytes,
     )
+    cols = ["doc_id", F.col("s.sh").alias("sh"), F.col("s.bands").alias("bands")]
+    if cfg.verify_screen:
+        cols.append(F.col("s.sigp").alias("sigp"))
     return docs.select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("s")
-    ).select("doc_id", F.col("s.sh").alias("sh"), F.col("s.bands").alias("bands"))
+    ).select(*cols)
 
 
 def explode_fused_bands(banded: DataFrame) -> DataFrame:
@@ -121,6 +130,8 @@ def minhash_dup_pairs(
     sigs = sigs.persist()
     bands = explode_fused_bands(sigs)
     cands = candidate_pairs(bands, cfg)
+    if cfg.verify_screen:
+        return jaccard_verify_screened(cands, sigs.select("doc_id", "sh", "sigp"), cfg)
     return jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
 
 

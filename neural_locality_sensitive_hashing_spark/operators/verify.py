@@ -19,34 +19,75 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, IntegerType
 
 from neural_locality_sensitive_hashing_spark.config import DedupConfig
 from neural_locality_sensitive_hashing_spark.functions.simhash import hamming_distance
 
 
-@pandas_udf(DoubleType())
-def _jaccard_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
-    """Exact set Jaccard of two array<long> columns (elements unique).
+def make_jaccard_udf(shingle_hash_bytes: int = 8):
+    """Exact set Jaccard of two shingle-set columns (elements unique).
 
     numpy merge-intersection per pair; chosen over native
     `array_intersect`/`array_union` because the JVM implementations
     allocate a hash set + two result arrays per row — at 32 local threads
     that allocation rate stalls the shared heap (measured 9.5s at
     local[8] -> 37.5s at local[32] for the same verify stage; the Arrow
-    kernel removes the regression)."""
-    out = np.zeros(len(sa), dtype=np.float64)
-    for i in range(len(sa)):
-        a = sa.iloc[i]
-        b = sb.iloc[i]
+    kernel removes the regression). Binary inputs decode at the configured
+    element width (8 = int64 LE, 4 = uint32 LE); array<long> inputs (the
+    non-fused path) are handled as-is."""
+    dt = "<i8" if shingle_hash_bytes == 8 else "<u4"
+
+    @pandas_udf(DoubleType())
+    def jaccard(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = np.zeros(len(sa), dtype=np.float64)
+        for i in range(len(sa)):
+            a = sa.iloc[i]
+            b = sb.iloc[i]
+            if a is None or b is None:
+                continue
+            a = np.frombuffer(a, dtype=dt) if isinstance(a, (bytes, bytearray)) else np.asarray(a, dtype=np.int64)
+            b = np.frombuffer(b, dtype=dt) if isinstance(b, (bytes, bytearray)) else np.asarray(b, dtype=np.int64)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
+
+    return jaccard
+
+
+_jaccard_udf = make_jaccard_udf(8)
+
+
+@pandas_udf(IntegerType())
+def _sig_matches_udf(pa_: pd.Series, pb_: pd.Series) -> pd.Series:
+    """Matching-slot count of two equal-length uint32 signature prefixes
+    (binary, 4 B/slot). est-Jaccard = matches / P."""
+    out = np.zeros(len(pa_), dtype=np.int32)
+    for i in range(len(pa_)):
+        a = pa_.iloc[i]
+        b = pb_.iloc[i]
         if a is None or b is None:
             continue
-        a = np.frombuffer(a, dtype="<i8") if isinstance(a, (bytes, bytearray)) else np.asarray(a, dtype=np.int64)
-        b = np.frombuffer(b, dtype="<i8") if isinstance(b, (bytes, bytearray)) else np.asarray(b, dtype=np.int64)
-        inter = np.intersect1d(a, b, assume_unique=True).size
-        union = a.size + b.size - inter
-        out[i] = inter / union if union else 0.0
+        out[i] = int(
+            (np.frombuffer(a, dtype="<u4") == np.frombuffer(b, dtype="<u4")).sum()
+        )
     return pd.Series(out)
+
+
+def screen_counts(cfg: DedupConfig) -> tuple[int, int]:
+    """(reject_below, accept_at_or_above) matching-slot thresholds for the
+    two-tier screen. sigma = sqrt(tau(1-tau)/P); a pair at exactly J = tau
+    is missed with P(Binom(P, tau) < reject_below) ~ Phi(-reject_sigmas)
+    (~1e-3 at 3 sigma), and a pair is accepted without exact verification
+    only when its estimate clears tau + accept_sigmas*sigma (false-accept
+    at J = tau - sigma is ~Phi(-(reject+accept) sigmas))."""
+    tau = cfg.jaccard_threshold
+    p = cfg.screen_perms
+    sigma = (tau * (1.0 - tau) / p) ** 0.5
+    reject_below = int(np.ceil((tau - cfg.screen_reject_sigmas * sigma) * p))
+    accept_at = int(np.ceil((tau + cfg.screen_accept_sigmas * sigma) * p))
+    return max(reject_below, 0), min(accept_at, p)
 
 
 def jaccard_verify(
@@ -62,14 +103,61 @@ def jaccard_verify(
     (doc_id, shingle-set) projection — never to the wide pages table, so
     `html`/`text` are pruned out of the shuffle.
     """
+    judf = make_jaccard_udf(cfg.shingle_hash_bytes)
     sets_a = shingle_sets.select(F.col(id_col).alias("a"), F.col(set_col).alias("sh_a"))
     sets_b = shingle_sets.select(F.col(id_col).alias("b"), F.col(set_col).alias("sh_b"))
     return (
         pairs.join(sets_a, "a")
         .join(sets_b, "b")
-        .select("a", "b", _jaccard_udf(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select("a", "b", judf(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= cfg.jaccard_threshold)
     )
+
+
+def jaccard_verify_screened(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-tier verify: MinHash-prefix screen, exact Jaccard only for the
+    uncertainty band -> (a, b, jaccard).
+
+    The 100 TB bytes-cut for the pipeline's dominant data mover: the
+    full shingle sets (KBs/doc, growing with document length) are gathered
+    only for pairs whose ``screen_perms``-slot estimate lands between the
+    reject and accept thresholds (``screen_counts``); clear rejects ship
+    256 B of prefix and stop, clear accepts report est-Jaccard
+    (matches/P, rounded to 1e-6) instead of the exact value. Deterministic
+    — a pure function of the signatures — so results stay bit-identical
+    across parallelism; NOT bit-equal to the exact path at the margins
+    (miss ~1e-3 at J == tau, inside the >=0.99 recall budget; measured in
+    tests/test_screen.py).
+
+    ``sigs`` must carry (doc_id, sh, sigp) — the fused banded kernel with
+    ``sig_prefix_perms = cfg.screen_perms``.
+    """
+    reject_below, accept_at = screen_counts(cfg)
+    p = cfg.screen_perms
+    pa = sigs.select(F.col(id_col).alias("a"), F.col("sigp").alias("sigp_a"))
+    pb = sigs.select(F.col(id_col).alias("b"), F.col("sigp").alias("sigp_b"))
+    # persisted: both tiers consume it, and without the cache each branch
+    # would re-run the upstream candidate exchange (same lifecycle contract
+    # as minhash_dup_pairs' sigs cache — bench/callers clearCache between
+    # runs); the cached (a, b, m) rows are ~20 B each
+    screened = (
+        pairs.join(pa, "a")
+        .join(pb, "b")
+        .select("a", "b", _sig_matches_udf(F.col("sigp_a"), F.col("sigp_b")).alias("m"))
+        .where(F.col("m") >= reject_below)
+        .persist()
+    )
+    accepted = screened.where(F.col("m") >= accept_at).select(
+        "a", "b", F.round(F.col("m") / F.lit(float(p)), 6).alias("jaccard")
+    )
+    middle = screened.where(F.col("m") < accept_at).select("a", "b")
+    exact = jaccard_verify(middle, sigs.select(id_col, "sh"), cfg, id_col=id_col)
+    return accepted.unionByName(exact)
 
 
 def simhash_verify(

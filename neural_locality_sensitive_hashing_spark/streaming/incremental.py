@@ -15,14 +15,30 @@ micro-batch of newly crawled pages,
 State lives in parquet stores (Iceberg-style append tables), not in Spark's
 operator state — so the stream can restart from its checkpoint.
 
+State-store layout (the per-batch scan bound): both stores are
+hash-partitioned on disk —
+
+    bands/      partitioned by pfx    = pmod(bucket, band_store_parts)
+    signatures/ partitioned by id_pfx = pmod(doc_id, sig_store_parts)
+
+and every probe/gather first collects the small set of partition values it
+can touch (≤ store_parts values, driver-side) and reads the store with an
+`isin` filter on the partition column, so the parquet source PRUNES
+DIRECTORIES: per-batch input rows from the stores scale with the batch's
+bucket/id coverage, not with total store size (asserted in
+tests/test_streaming.py). At 10^12-doc scale the same layout maps to
+Iceberg partition buckets, with periodic compaction of the per-batch
+files inside each partition.
+
 Equivalence contract vs a batch run over the union of all inputs:
 *identical pair set for buckets below ``bucket_pair_cap``* (each pair is
 emitted exactly once — by the batch that contributes its later doc). For
 over-cap buckets the batch pipeline emits rank-dependent chain+tree pairs
-while the increment emits new×all collisions, so pair SETS differ there;
-both preserve bucket connectivity, so cluster assignments agree
-(test_streaming.py asserts pair-set equality below cap and cluster-level
-equivalence with a planted over-cap bucket).
+while the increment emits new×anchor collisions (the two-sided cap keeps
+the old side bounded), so pair SETS differ there; both preserve bucket
+connectivity, so cluster assignments agree (test_streaming.py asserts
+pair-set equality below cap and cluster-level equivalence with a planted
+over-cap bucket).
 """
 
 from __future__ import annotations
@@ -49,9 +65,18 @@ PAGES_SCHEMA = (
 class IncrementalDeduper:
     """foreachBatch sink: maintains signature + band + dup-pair stores."""
 
-    def __init__(self, spark: SparkSession, cfg: DedupConfig, state_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig,
+        state_dir: str,
+        band_store_parts: int = 64,
+        sig_store_parts: int = 16,
+    ):
         self.spark = spark
         self.cfg = cfg
+        self.band_store_parts = band_store_parts
+        self.sig_store_parts = sig_store_parts
         self.sig_store = os.path.join(state_dir, "signatures")
         self.band_store = os.path.join(state_dir, "bands")
         self.pair_store = os.path.join(state_dir, "dup_pairs")
@@ -61,6 +86,43 @@ class IncrementalDeduper:
             return None
         return self.spark.read.parquet(path)
 
+    # -- pruned store readers -------------------------------------------------
+
+    def probe_band_store(self, new_bands: DataFrame) -> DataFrame | None:
+        """Band-store rows that can possibly collide with ``new_bands``:
+        collects the batch's distinct bucket prefixes (≤ band_store_parts
+        values) and reads only those partitions — matching (band, bucket)
+        rows always share the prefix (pfx is a function of bucket), so
+        pruning never drops a collision."""
+        store = self._read_store(self.band_store)
+        if store is None:
+            return None
+        pfx = [
+            r[0]
+            for r in new_bands.select(
+                F.pmod(F.col("bucket"), F.lit(self.band_store_parts)).alias("pfx")
+            )
+            .distinct()
+            .collect()
+        ]
+        return store.where(F.col("pfx").isin(pfx)).select("band", "bucket", "doc_id")
+
+    def gather_old_sets(self, ids: DataFrame) -> DataFrame | None:
+        """Signature-store rows for the given (doc_id) frame only: collects
+        the candidates' distinct id prefixes and prunes the store scan."""
+        store = self._read_store(self.sig_store)
+        if store is None:
+            return None
+        pfx = [
+            r[0]
+            for r in ids.select(
+                F.pmod(F.col("doc_id"), F.lit(self.sig_store_parts)).alias("id_pfx")
+            )
+            .distinct()
+            .collect()
+        ]
+        return store.where(F.col("id_pfx").isin(pfx)).select("doc_id", "sh")
+
     def process_batch(self, new_pages: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
         new_sigs = signatures_fused(new_pages, cfg).persist()
@@ -68,19 +130,25 @@ class IncrementalDeduper:
 
         # new×new with the full skew-capped machinery ...
         cands = candidate_pairs(new_bands, cfg)
-        # ... plus new×old: probe the accumulated band store directly —
-        # the ONLY work touching earlier batches is this equi-join; no
-        # old×old candidate is ever regenerated.
-        old_bands = self._read_store(self.band_store)
+        # ... plus new×old: probe the PRUNED band store — the only work
+        # touching earlier batches is this equi-join over the partitions
+        # the new buckets hash into; no old×old candidate is regenerated.
+        old_bands = self.probe_band_store(new_bands)
         if old_bands is not None:
             cands = cands.unionByName(
                 candidate_pairs_two_sided(new_bands, old_bands, cfg)
             ).dropDuplicates(["a", "b"])
+        cands = cands.persist()
 
-        old_sigs = self._read_store(self.sig_store)
         all_sets = new_sigs.select("doc_id", "sh")
-        if old_sigs is not None:
-            all_sets = all_sets.unionByName(old_sigs.select("doc_id", "sh"))
+        old_ids = (
+            cands.select(F.col("a").alias("doc_id"))
+            .unionByName(cands.select(F.col("b").alias("doc_id")))
+            .join(new_sigs.select("doc_id"), "doc_id", "left_anti")
+        )
+        old_sets = self.gather_old_sets(old_ids)
+        if old_sets is not None:
+            all_sets = all_sets.unionByName(old_sets)
 
         dups = jaccard_verify(cands, all_sets, cfg)
         (
@@ -89,8 +157,26 @@ class IncrementalDeduper:
             .write.mode("append")
             .parquet(self.pair_store)
         )
-        new_bands.write.mode("append").parquet(self.band_store)
-        new_sigs.select("doc_id", "sh", "sig").write.mode("append").parquet(self.sig_store)
+        (
+            new_bands.withColumn(
+                "pfx", F.pmod(F.col("bucket"), F.lit(self.band_store_parts))
+            )
+            .repartition("pfx")
+            .write.mode("append")
+            .partitionBy("pfx")
+            .parquet(self.band_store)
+        )
+        (
+            new_sigs.select("doc_id", "sh", "sig")
+            .withColumn(
+                "id_pfx", F.pmod(F.col("doc_id"), F.lit(self.sig_store_parts))
+            )
+            .repartition("id_pfx")
+            .write.mode("append")
+            .partitionBy("id_pfx")
+            .parquet(self.sig_store)
+        )
+        cands.unpersist()
         new_bands.unpersist()
         new_sigs.unpersist()
 

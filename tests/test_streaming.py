@@ -46,6 +46,57 @@ def test_incremental_equals_batch(spark, pages_1k, tmp_path):
         )
 
 
+def test_store_partition_pruning(spark, pages_1k, tmp_path):
+    """Per-batch store reads scale with the batch's bucket/id coverage,
+    not total store size: the partitioned stores prune directories."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.operators.candidates import (
+        candidate_pairs_two_sided,
+        explode_bands,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.dedup import signatures_fused
+
+    pages_path, _ = pages_1k
+    pages = spark.read.parquet(pages_path)
+    input_dir = str(tmp_path / "incoming")
+    os.makedirs(input_dir)
+    for i in range(3):
+        pages.where(f"doc_id % 3 = {i}").coalesce(1).write.parquet(
+            f"{input_dir}/b{i}.parquet"
+        )
+    dedup = run_incremental(spark, f"{input_dir}/*", str(tmp_path / "state"), CFG)
+
+    # a 1-doc probe touches <= 32 buckets -> <= 32 of 64 band partitions
+    probe = signatures_fused(pages.where("doc_id = 999"), CFG)
+    probe_bands = explode_bands(probe, CFG)
+    full_bands = spark.read.parquet(dedup.band_store)
+    pruned_bands = dedup.probe_band_store(probe_bands)
+    n_full, n_pruned = full_bands.count(), pruned_bands.count()
+    assert n_pruned < 0.7 * n_full, f"band pruning ineffective: {n_pruned}/{n_full}"
+
+    # pruning loses no collision: candidates equal vs the unpruned store
+    cfull = {
+        (r.a, r.b)
+        for r in candidate_pairs_two_sided(
+            probe_bands, full_bands.select("band", "bucket", "doc_id"), CFG
+        ).collect()
+    }
+    cpruned = {
+        (r.a, r.b)
+        for r in candidate_pairs_two_sided(probe_bands, pruned_bands, CFG).collect()
+    }
+    assert cfull == cpruned
+
+    # signature gather: 2 ids -> <= 2 of 16 id partitions
+    ids = spark.createDataFrame([(7,), (23,)], "doc_id long")
+    full_sigs = spark.read.parquet(dedup.sig_store).count()
+    pruned_sigs = dedup.gather_old_sets(ids)
+    assert pruned_sigs.count() <= 0.3 * full_sigs
+    got = {r.doc_id for r in pruned_sigs.where(F.col("doc_id").isin([7, 23])).collect()}
+    assert got == {7, 23}
+
+
 def test_incremental_overcap_bucket_cluster_equivalence(spark, tmp_path):
     """Over-cap buckets: pair SETS may differ from batch (rank-dependent
     chain+tree vs new×all) but cluster assignments must agree."""

@@ -43,7 +43,26 @@ def main() -> None:
         "full corpus text out of the shuffle entirely",
     )
     ap.add_argument("--with-longrepeat", action="store_true")
+    ap.add_argument(
+        "--verify-screen", dest="verify_screen", action="store_true", default=True,
+        help="two-tier verify (MinHash-prefix screen, exact Jaccard only in "
+        "the uncertainty band) — the scale default; deterministic across "
+        "parallelism, ~1e-3 miss at J == tau (measured recall vs the exact "
+        "path in tests/test_screen.py)",
+    )
+    ap.add_argument(
+        "--no-verify-screen", dest="verify_screen", action="store_false",
+        help="exact Jaccard for every candidate pair (round-2 behavior)",
+    )
+    ap.add_argument(
+        "--shingle-bytes", type=int, default=4, choices=(4, 8),
+        help="shingle hash width in the verify gather (4 halves the bytes; "
+        "8 = full 64-bit, oracle-exact)",
+    )
     args = ap.parse_args()
+    if args.with_simhash and args.shingle_bytes != 8:
+        ap.error("--with-simhash requires --shingle-bytes 8 (the 64-bit "
+                 "SimHash contract is defined over 64-bit shingle hashes)")
 
     from pyspark.sql import SparkSession
 
@@ -63,6 +82,7 @@ def main() -> None:
     from neural_locality_sensitive_hashing_spark.operators.suffix import long_repeat_pairs
     from neural_locality_sensitive_hashing_spark.operators.verify import (
         jaccard_verify,
+        jaccard_verify_screened,
         simhash_verify,
     )
 
@@ -80,7 +100,9 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
-    cfg = DedupConfig()
+    cfg = DedupConfig(
+        verify_screen=args.verify_screen, shingle_hash_bytes=args.shingle_bytes
+    )
 
     pages = spark.read.parquet(args.pages)
     n_docs = pages.count()
@@ -113,7 +135,10 @@ def main() -> None:
         stages["cand_pairs"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    dups = jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
+    if cfg.verify_screen:
+        dups = jaccard_verify_screened(cands, sigs.select("doc_id", "sh", "sigp"), cfg)
+    else:
+        dups = jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
     if args.with_simhash:
         from pyspark.sql import functions as F
 
