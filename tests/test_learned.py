@@ -169,6 +169,61 @@ def test_hardest_negative_mining_trains():
     assert len(set(codes)) >= 4
 
 
+def test_triplet_objective_trains():
+    """The reference's actual shared-anchor triplet form
+    (nlsh/trainers/triplet.py:16-26): same quality gates as contrastive —
+    positives collide, clusters separate, buckets stay plural."""
+    rng = np.random.default_rng(6)
+    centers = rng.standard_normal((10, 24))
+    x = np.repeat(centers, 40, axis=0) + 0.05 * rng.standard_normal((400, 24))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sim = xn @ xn.T
+    np.fill_diagonal(sim, -np.inf)
+    pos = sim.argmax(axis=1)
+
+    w = train_partitioner(x, n_bits=8, epochs=40, seed=3, objective="triplet")
+    codes = np.array([c[0] for c in hash_codes_numpy(xn, w)])
+    pos_collide = (codes == codes[pos]).mean()
+    assert pos_collide >= 0.75, f"positive collision rate {pos_collide}"
+    lab = np.repeat(np.arange(10), 40)
+    same = codes[:, None] == codes[None, :]
+    inter = lab[:, None] != lab[None, :]
+    assert same[inter].mean() <= 0.05, "triplet objective failed to separate"
+    assert len(set(codes)) >= 4
+
+    with pytest.raises(ValueError, match="objective"):
+        train_partitioner(x[:10], n_bits=4, epochs=1, objective="nope")
+
+
+def test_bernoulli_label_draw_trains():
+    """R4 (nlsh/trainers/siamese.py:45-46): per-epoch Bernoulli labels gate
+    pull vs push — training still converges to a usable partitioner."""
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((8, 16))
+    x = np.repeat(centers, 40, axis=0) + 0.05 * rng.standard_normal((320, 16))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sim = xn @ xn.T
+    np.fill_diagonal(sim, -np.inf)
+    pos = sim.argmax(axis=1)
+
+    w = train_partitioner(
+        x, n_bits=8, epochs=60, seed=9, label_bernoulli_p=0.5
+    )
+    codes = np.array([c[0] for c in hash_codes_numpy(xn, w)])
+    assert (codes == codes[pos]).mean() >= 0.7
+    assert len(set(codes)) >= 3
+
+
+def test_probe_budget_validated():
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        make_learned_code_udf,
+    )
+
+    w = {"W": np.zeros((4, 3)), "b": np.zeros(3)}
+    with pytest.raises(ValueError, match="n_probes"):
+        make_learned_code_udf(w, n_probes=9)  # 2^3 = 8 max
+
+
 def test_pca_partitioner_bits():
     """AE-as-PCA partitioner: bits follow the top principal direction and
     the (W, b) contract matches hash_codes_numpy."""
