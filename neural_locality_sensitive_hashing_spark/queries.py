@@ -161,9 +161,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_exact_jaccard_pairs(spark, sf_dir, NGRAM_TAU)
 
 
+def q_unique_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with NO near-duplicate partner — the anti-join membership
+    mask as a first-class query (P6, the reference's
+    `np.isin(..., invert=True)` — ``nlsh/trainers/proposed.py:117``): the
+    keep-side output of a dedup pass, which is what a training-data
+    pipeline actually materializes. Left-anti join against both pair
+    endpoints; at 100 TB this is two broadcast-able id-only joins."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _spark_exact_jaccard_pairs(spark, sf_dir, NGRAM_TAU).select("a", "b")
+    dup_ids = pairs.select(F.col("a").alias("doc_id")).unionByName(
+        pairs.select(F.col("b").alias("doc_id"))
+    )
+    return docs.join(dup_ids, "doc_id", "left_anti")
+
+
 SQL_NGRAM_JACCARD_PAIRS = f"""
 {_SQL_EXACT_PAIRS}
 SELECT a, b, jaccard FROM jac WHERE jaccard >= {NGRAM_TAU}
+"""
+
+SQL_UNIQUE_DOCUMENTS = f"""
+{_SQL_EXACT_PAIRS},
+dup AS (SELECT a AS doc_id FROM jac WHERE jaccard >= {NGRAM_TAU}
+        UNION SELECT b FROM jac WHERE jaccard >= {NGRAM_TAU})
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
 """
 
 
@@ -1270,6 +1293,86 @@ SELECT user_id, event_id, value, rank FROM (
 ) WHERE rank <= 3
 """
 
+SESSION_GAP_SEC = 1800
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session): the
+    lag + cumulative-sum window idiom — one exchange on user_id feeds the
+    lag, the running sum AND the final per-session aggregate (all three
+    share the partitioning, so Catalyst plans a single shuffle). The
+    batch analogue of Structured Streaming session windows; at 100 TB the
+    user_id hash partitioning bounds every window to one partition."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0).alias("new_sess"),
+    )
+    flagged = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_USER_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_lang_token_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count quartiles (corpus-quality audit):
+    Spark's exact `percentile` (linear interpolation) == DuckDB's
+    quantile_cont — a grouped ordered-aggregate the round-2 inventory
+    lacked."""
+    docs = load(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text")).cast("double")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile(n, F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile(n, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(n, F.lit(0.75)), 4).alias("p75"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_LANG_TOKEN_QUARTILES = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                         x -> x <> ''))::DOUBLE AS n
+  FROM documents
+)
+SELECT lang, round(quantile_cont(n, 0.25), 4) AS p25,
+       round(quantile_cont(n, 0.5), 4) AS p50,
+       round(quantile_cont(n, 0.75), 4) AS p75,
+       count(*) AS n_docs
+FROM t GROUP BY lang
+"""
+
 
 # --- registry -----------------------------------------------------------------
 
@@ -1277,6 +1380,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_clusters": q_exact_dedup_clusters,
     "exact_dup_pairs": q_exact_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "unique_documents": q_unique_documents,
+    "user_sessions": q_user_sessions,
+    "lang_token_quartiles": q_lang_token_quartiles,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1311,6 +1417,9 @@ ORACLES: dict[str, str] = {
     "exact_dedup_clusters": SQL_EXACT_DEDUP_CLUSTERS,
     "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "unique_documents": SQL_UNIQUE_DOCUMENTS,
+    "user_sessions": SQL_USER_SESSIONS,
+    "lang_token_quartiles": SQL_LANG_TOKEN_QUARTILES,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
