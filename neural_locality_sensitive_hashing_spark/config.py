@@ -89,7 +89,7 @@ class DedupConfig:
                 f"num_bands({self.num_bands}) * rows_per_band({self.rows_per_band})"
                 f" != num_perm({self.num_perm})"
             )
-        if self.screen_perms > self.num_perm:
+        if self.verify_screen and self.screen_perms > self.num_perm:
             raise ValueError(
                 f"screen_perms({self.screen_perms}) > num_perm({self.num_perm})"
             )

@@ -447,6 +447,7 @@ def embedding_dup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bands: int = 32,
 ) -> DataFrame:
     """All pairs with cosine >= tau via hyperplane-LSH self-join + exact
     verify. The default 100 TB plan: no driver collect, no crossJoin.
@@ -461,7 +462,10 @@ def embedding_dup_pairs_lsh(
     if num_bands is None or bits_per_band is None:
         if (num_bands is None) != (bits_per_band is None):
             raise ValueError("pass both num_bands and bits_per_band, or neither")
-        num_bands, bits_per_band = derive_banding(tau)
+        # a larger band budget always buys strictly MORE selective bands:
+        # required B grows ~(1/p)^b ≈ 1.26^b (tau=0.8) while random-pair
+        # collision mass falls ~B/2^b — raise max_bands on diffuse corpora
+        num_bands, bits_per_band = derive_banding(tau, max_bands=max_bands)
     planes = hyperplane_params(dim, num_bands, bits_per_band, seed)
     udf = make_hyperplane_udf(planes, num_bands, bits_per_band, n_probes=1)
 

@@ -1090,11 +1090,19 @@ EMB_DUP_TAU_HI = 0.8  # realistic near-dup threshold: selective 32x4 banding
 
 def q_embedding_dup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query at a realistic near-dup threshold (tau=0.8): the derived
-    banding tightens to 32 bands × 4 bits, collapsing the random-collision
-    fan-out ~4× per band while keeping the per-pair miss below 1e-7 — the
-    adaptive-banding scale path."""
+    banding tightens to 93 bands × 8 bits (max_bands=96 budget). Measured
+    candidate fan-out at sf0.1 (32k diffuse vectors): 1.71M pairs under
+    the tau=0.4 32×2 plan → 0.64M under 93×8 (2.7×), with per-pair miss
+    still < 1e-7; plan shape is ONE exchange (self-join broadcast, dedup,
+    broadcast gathers). The deliberately-diffuse driver embeddings keep a
+    heavy mid-cosine tail, so the collapse is milder than the
+    independent-bit model predicts — on real embedding corpora (near-dups
+    at 0.9+, bulk near-orthogonal) the same banding cuts collision mass
+    ~50×."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.embedding_dup_pairs_lsh(emb, EMB_DUP_TAU_HI, dim=ANN_DIM, seed=ANN_SEED)
+    return S.embedding_dup_pairs_lsh(
+        emb, EMB_DUP_TAU_HI, dim=ANN_DIM, seed=ANN_SEED, max_bands=96
+    )
 
 
 def q_embedding_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
