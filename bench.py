@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# benchmark harness opts into tmpfs shuffle scratch (library default is
+# off — see session._tmpfs_scratch for the free-space gate and rationale)
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
 HEADLINE = [
     "minhash_dedup_pairs",
     "minhash_dedup_clusters",
