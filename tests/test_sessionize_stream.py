@@ -1,0 +1,100 @@
+"""Streaming stateful sessionization == batch sessionization (closed
+sessions), with state carrying open sessions across micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from neural_locality_sensitive_hashing_spark.streaming.sessionize import (
+    sessionize_stream,
+)
+
+GAP = 600  # 10 min
+
+
+def _batch_sessions(pdf: pd.DataFrame) -> set[tuple]:
+    """Reference sessionization in pandas (closed + open)."""
+    out = []
+    for uid, g in pdf.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        start = last = None
+        n, s = 0, 0.0
+        for r in g.itertuples():
+            t = r.ts.timestamp()
+            if start is None:
+                start, last, n, s = t, t, 0, 0.0
+            elif t - last > GAP:
+                out.append((uid, start, last, n, round(s, 4)))
+                start, last, n, s = t, t, 0, 0.0
+            n += 1
+            s += r.value
+            last = t
+        out.append((uid, start, last, n, round(s, 4)))  # final open session
+    return set(out)
+
+
+def _gen_events(n_users: int = 15, n_events: int = 600, seed: int = 3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    t = 0.0
+    for i in range(n_events):
+        # bursty arrivals: mostly short gaps, occasional >GAP jumps
+        t += float(rng.choice([5.0, 30.0, 90.0, 1500.0], p=[0.5, 0.3, 0.15, 0.05]))
+        rows.append(
+            (
+                i,
+                base + pd.Timedelta(seconds=t + rng.integers(0, 3)),
+                int(rng.integers(0, n_users)),
+                round(float(rng.random() * 10), 2),
+            )
+        )
+    return pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    pdf = _gen_events()
+    # split time-ordered into 3 micro-batch files (open sessions must
+    # survive across them in the state store)
+    input_dir = str(tmp_path / "incoming")
+    os.makedirs(input_dir)
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    cut1, cut2 = len(pdf) // 3, 2 * len(pdf) // 3
+    for i, part in enumerate([pdf[:cut1], pdf[cut1:cut2], pdf[cut2:]]):
+        spark.createDataFrame(part).coalesce(1).write.parquet(f"{input_dir}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{input_dir}/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=GAP)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(),
+         r.n_events, round(r.sum_value, 4))
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    ref = _batch_sessions(pdf)
+    # the stream emits CLOSED sessions; each user's final open session
+    # stays in state — so got == ref minus the per-user latest session
+    open_sessions = {
+        max((t for t in ref if t[0] == uid), key=lambda t: t[1])
+        for uid in {t[0] for t in ref}
+    }
+    closed_ref = ref - open_sessions
+    assert got == closed_ref, (
+        f"missing={list(closed_ref - got)[:3]} extra={list(got - closed_ref)[:3]}"
+    )
+    assert len(got) > 20  # the fixture really exercises multi-session users
