@@ -316,7 +316,12 @@ def e2lsh_params(
 
 
 def make_e2lsh_udf(
-    v: np.ndarray, b: np.ndarray, num_bands: int, rows_per_band: int, bucket_width: float
+    v: np.ndarray,
+    b: np.ndarray,
+    num_bands: int,
+    rows_per_band: int,
+    bucket_width: float,
+    n_probes: int = 1,
 ):
     """pandas_udf: embedding -> array<bigint> per-band bucket ids.
 
@@ -326,9 +331,20 @@ def make_e2lsh_udf(
     widths apart (false candidates removed by the exact re-rank); keeping
     the combine to plain integer arithmetic makes the banding replayable
     in the DuckDB oracle. rows_per_band is capped at 2 to fit the
-    positional pack below the band tag."""
+    positional pack below the band tag.
+
+    ``n_probes`` > 1 is the L2 multi-probe (K6 for the Euclidean path,
+    the analogue of Lv et al.'s multi-probe LSH): per band, extra probes
+    step the quantized coordinate closest to its cell boundary one cell
+    toward that boundary — the highest-probability neighboring buckets —
+    in ascending boundary-distance order. Supports up to
+    1 + rows_per_band probes (the base cell + one step per coordinate)."""
     if rows_per_band > 2:
         raise ValueError("e2lsh positional pack supports rows_per_band <= 2")
+    if n_probes > 1 + rows_per_band:
+        raise ValueError(
+            f"n_probes={n_probes} exceeds 1 + rows_per_band={1 + rows_per_band}"
+        )
     vt = v.T.copy()
 
     @pandas_udf(ArrayType(LongType()))
@@ -337,16 +353,35 @@ def make_e2lsh_udf(
         ok = [i for i, x in enumerate(vecs) if x is not None]
         if ok:
             m = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
-            q = np.floor((m @ vt + b) / bucket_width).astype(np.int64)  # (n, bands*r)
-            c = np.mod(q, 65536)  # non-negative (numpy mod follows divisor)
-            cb = c.reshape(len(ok), num_bands, rows_per_band)
+            pos = (m @ vt + b) / bucket_width  # (n, bands*r)
+            q = np.floor(pos).astype(np.int64)
+            n = len(ok)
+            qb = q.reshape(n, num_bands, rows_per_band)
             band_tag = np.arange(num_bands, dtype=np.int64) << np.int64(32)
-            if rows_per_band == 2:
-                bucket = band_tag + cb[:, :, 0] * 65536 + cb[:, :, 1]
-            else:
-                bucket = band_tag + cb[:, :, 0]
+
+            def pack(cells: np.ndarray) -> np.ndarray:
+                c = np.mod(cells, 65536)
+                if rows_per_band == 2:
+                    return band_tag + c[:, :, 0] * 65536 + c[:, :, 1]
+                return band_tag + c[:, :, 0]
+
+            probes = [pack(qb)]
+            if n_probes > 1:
+                frac = (pos - q).reshape(n, num_bands, rows_per_band)
+                # step direction: toward the nearer cell boundary
+                step = np.where(frac >= 0.5, 1, -1)
+                # boundary distance per coordinate; probe in ascending order
+                bdist = np.minimum(frac, 1.0 - frac)
+                order = bdist.argsort(axis=2)  # (n, bands, r)
+                for p in range(n_probes - 1):
+                    cells = qb.copy()
+                    coord = order[:, :, p]  # which coordinate to step
+                    ii, bb = np.meshgrid(np.arange(n), np.arange(num_bands), indexing="ij")
+                    cells[ii, bb, coord] += step[ii, bb, coord]
+                    probes.append(pack(cells))
+            flat = np.stack(probes, axis=2).reshape(n, num_bands * len(probes))
             for j, i in enumerate(ok):
-                out[i] = bucket[j]
+                out[i] = flat[j]
         return pd.Series(out)
 
     return codes
@@ -371,16 +406,22 @@ def ann_lsh_l2(
     num_bands: int = 16,
     rows_per_band: int = 2,
     bucket_width: float = 4.0,
+    n_probes: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k Euclidean neighbors via E2LSH bucket join; exact
-    L2 re-rank (vectorized kernel) after pair dedup."""
+    L2 re-rank (vectorized kernel) after pair dedup. ``n_probes`` widens
+    each query's probe set toward adjacent quantization cells (multi-probe,
+    corpus hashed once) — the recall knob at constant index."""
     v, b = e2lsh_params(dim, num_bands, rows_per_band, bucket_width, seed)
     udf = make_e2lsh_udf(v, b, num_bands, rows_per_band, bucket_width)
+    q_udf = make_e2lsh_udf(
+        v, b, num_bands, rows_per_band, bucket_width, n_probes=n_probes
+    )
 
-    qc = _explode_codes(queries, "query_id", udf, id_col, vec_col)
+    qc = _explode_codes(queries, "query_id", q_udf, id_col, vec_col)
     cc = _explode_codes(corpus, "neighbor_id", udf, id_col, vec_col)
     cand = (
         qc.join(cc, "bucket")
