@@ -140,6 +140,33 @@ def sweep_corpus(spark, emb, corpus_label: str) -> list[str]:
         )
         ann.unpersist()
         print(corpus_label, lines[-1], file=sys.stderr)
+    # E2LSH (Euclidean) multi-probe: the K6 knob on the L2 path — probes
+    # step the least-confident quantized coordinate toward its boundary
+    lines += [
+        "",
+        f"## {corpus_label} — E2LSH Euclidean (16 bands x 2 rows, w=1.2)",
+        "",
+        "| n_probes | recall@10 (L2) | wall (s) |",
+        "|---|---|---|",
+    ]
+    t0 = time.time()
+    exact_l2 = (
+        S.knn_bruteforce_l2(queries, emb, k=K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    exact_l2.count()
+    lines.append(f"| exact kNN (yardstick) | 1.000 | {time.time() - t0:.1f} |")
+    for n_probes in [1, 2, 3]:
+        t0 = time.time()
+        ann = S.ann_lsh_l2(
+            queries, emb, dim=DIM, k=K, bucket_width=1.2, n_probes=n_probes
+        ).select("query_id", "neighbor_id")
+        rec = mean_recall_at_k(ann, exact_l2, k=K)
+        lines.append(f"| {n_probes} | {rec:.3f} | {time.time() - t0:.1f} |")
+        print(corpus_label, lines[-1], file=sys.stderr)
+    exact_l2.unpersist()
+
     lines.append("")
     exact.unpersist()
     queries.unpersist()
