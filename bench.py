@@ -46,6 +46,9 @@ HEADLINE = [
     "pricing_summary",
     "top_customers",
     "user_topk_events",
+    "user_sessions",
+    "unique_documents",
+    "lang_token_quartiles",
 ]
 
 WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))
