@@ -94,20 +94,10 @@ def main() -> None:
     docs_per_sec = round(n_docs / wall, 1)
     print(f"# webtext_dedup: {wall:.1f}s for {n_docs} docs = {docs_per_sec} docs/s",
           file=sys.stderr)
-    spark.catalog.clearCache()
-
-    # same pipeline with the two-tier verify screen + 4-byte shingle gather
-    # (the scale configuration used by tools/bench_scaling.py)
-    t0 = time.time()
-    minhash_dedup_clusters(
-        pages, DedupConfig(verify_screen=True, shingle_hash_bytes=4)
-    ).count()
-    wall_s = time.time() - t0
-    timings["webtext_dedup_screened"] = round(wall_s, 3)
-    print(
-        f"# webtext_dedup_screened: {wall_s:.1f}s = {n_docs / wall_s:.1f} docs/s",
-        file=sys.stderr,
-    )
+    # The optional two-tier verify screen is NOT benched here: measured to
+    # not pay on this corpus's ~1.2 KB shingle sets (BENCH/BASELINE.md
+    # byte-evidence section); bench it via
+    # `tools/run_dedup_job.py --verify-screen` on corpora with larger sets.
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
