@@ -71,6 +71,13 @@ class DedupPipeline:
         checkpoint_dir: str,
         input_token: str,
     ):
+        if cfg.verify_screen:
+            raise ValueError(
+                "DedupPipeline checkpoints the exact-verify stages; the "
+                "two-tier screened verify lives in operators.dedup."
+                "minhash_dup_pairs / tools.run_dedup_job (--verify-screen) "
+                "— refusing to silently ignore cfg.verify_screen"
+            )
         self.spark = spark
         self.cfg = cfg
         self.catalog = CheckpointCatalog(spark, checkpoint_dir)
