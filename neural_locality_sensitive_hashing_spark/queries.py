@@ -142,18 +142,32 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id FROM docu
 
 
 def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
+    """Exact-duplicate pairs on md5(text).  The driver corpus has no exact
+    duplicates, which made this oracle vacuously green (0 rows vs 0 rows);
+    the query therefore unions a deterministic planted fixture — copies of
+    the five lowest doc_ids under offset ids — reproduced identically in
+    the oracle SQL, so the comparison checks real values (5 pairs)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    fp = docs.unionByName(planted).select("doc_id", F.md5("text").alias("fp"))
     return (
-        docs.alias("l")
-        .join(docs.alias("r"), "fp")
+        fp.alias("l")
+        .join(fp.alias("r"), "fp")
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
     )
 
 
 SQL_EXACT_DUP_PAIRS = """
+WITH alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 5
+)
 SELECT l.doc_id AS a, r.doc_id AS b
-FROM documents l JOIN documents r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
+FROM alld l JOIN alld r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
 """
 
 
@@ -1098,10 +1112,27 @@ def q_embedding_dup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy mid-cosine tail, so the collapse is milder than the
     independent-bit model predicts — on real embedding corpora (near-dups
     at 0.9+, bulk near-orthogonal) the same banding cuts collision mass
-    ~50×."""
+    ~50×.
+
+    The diffuse driver corpus has NO pairs at tau=0.8, which made this
+    oracle vacuously green (0 vs 0 rows); the query therefore unions a
+    deterministic planted fixture — the four lowest vec_ids copied under
+    offset ids with element 0 shifted by +0.05 (cosine ≈ 0.9988 to their
+    source) — reproduced float-for-float in the oracle SQL, so the
+    comparison verifies real cosine values through the full LSH + exact
+    verify path (4 pairs)."""
     emb = load(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
+            F.slice("embedding", 2, ANN_DIM - 1),
+        ).alias("embedding"),
+        "label",
+    )
     return S.embedding_dup_pairs_lsh(
-        emb, EMB_DUP_TAU_HI, dim=ANN_DIM, seed=ANN_SEED, max_bands=96
+        emb.unionByName(planted), EMB_DUP_TAU_HI, dim=ANN_DIM, seed=ANN_SEED,
+        max_bands=96,
     )
 
 
@@ -1126,7 +1157,13 @@ WHERE round(list_dot_product(l.v, r.v)
 """
 
 SQL_EMBEDDING_DUP_PAIRS_HI = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH planted AS (
+  SELECT vec_id + 10000000 AS vec_id,
+         list_prepend(CAST(embedding[1] + 0.05 AS FLOAT), embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id < 4
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT * FROM planted))
 SELECT l.vec_id AS a, r.vec_id AS b,
        round(list_dot_product(l.v, r.v)
              / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
@@ -1171,13 +1208,36 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # Decimal-accumulated sums: exact and summation-order-independent,
+            # so the driver's bit-exact hash compare vs the oracle cannot be
+            # broken by Spark/DuckDB reducing partial aggregates in different
+            # row orders.  The per-row double->decimal cast is deterministic.
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1185,11 +1245,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -1205,9 +1265,16 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -1216,7 +1283,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOP_CUSTOMERS = """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1241,9 +1308,16 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -1251,7 +1325,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REGION_REVENUE = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1270,14 +1344,17 @@ def q_event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
 
 SQL_EVENT_TYPE_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-       count(*) AS n_events, round(sum(value), 4) AS sum_value
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -1325,11 +1402,17 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_idx",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # sum_value is accumulated as DECIMAL(18,6): double summation order
+    # differs between Spark (window order) and any other engine (scan
+    # order), so last-bit ulps can survive round(...,4) and fail an exact
+    # hash compare.  Decimal addition is exact and order-independent.
     return flagged.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -1346,8 +1429,9 @@ WITH e AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM e
 )
-SELECT user_id, session_idx, count(*) AS n_events,
-       min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value), 4) AS sum_value
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, session_idx
 """
 

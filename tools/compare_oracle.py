@@ -20,19 +20,30 @@ TABLES = [
 ]
 
 
-def canon(v):
+def canon(v, strict: bool = True):
+    """Canonicalize one cell.
+
+    ``strict=True`` is the gate: floats compare by full ``repr`` (the
+    shortest round-trip string, i.e. bit-exact), matching the driver's
+    exact value hash.  ``strict=False`` is the older 9-significant-digit
+    view, kept only to label near-misses — a strict FAIL that passes at
+    9 digits is a representational mismatch (summation order, type
+    width), not a semantic one.
+    """
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v) if strict else f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x, strict) for x in v) + "]"
     return str(v)
 
 
-def frame_key(cols, rows):
+def frame_key(cols, rows, strict: bool = True):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    out = sorted(tuple(canon(r[i], strict) for i in order) for r in rows)
     return [c for c in sorted(cols)], out
 
 
@@ -91,7 +102,11 @@ def main() -> int:
             failures.append(name)
         elif sv != ov:
             diff = [i for i, (a, b) in enumerate(zip(sv, ov)) if a != b][:3]
-            print(f"FAIL {name}: values differ at sorted rows {diff}")
+            _, sv9 = frame_key(scols, srows, strict=False)
+            _, ov9 = frame_key(ocols, orows, strict=False)
+            near = " (NEAR-MISS: matches at 9 sig digits — representational," \
+                   " e.g. float summation order or type width)" if sv9 == ov9 else ""
+            print(f"FAIL {name}: values differ at sorted rows {diff}{near}")
             for i in diff[:2]:
                 print(f"   spark : {sv[i]}")
                 print(f"   duckdb: {ov[i]}")
