@@ -212,6 +212,30 @@ def make_shingle_sig_udf(
     return shingle_sig
 
 
+def make_sig_prefix_udf(prefix_perms: int):
+    """sig array<long> -> sigp binary: the first P signature slots
+    truncated to uint32 LE (4 B/slot) — bit-identical to the ``sigp`` the
+    fused banded kernel emits, but derived from an already-materialized
+    full signature.  Lets the checkpointed pipeline (whose `signatures`
+    stage stores the full sig) feed the two-tier verify screen without
+    re-signaturing the corpus."""
+
+    @pandas_udf("binary")
+    def sig_prefix(sig: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if s is None
+                else np.asarray(s, dtype=np.int64)[:prefix_perms]
+                .astype(np.uint32)
+                .tobytes()
+                for s in sig
+            ]
+        )
+
+    return sig_prefix
+
+
 def shingle_bytes_to_array(b: bytes | None) -> np.ndarray:
     """Decode the binary shingle-set representation (sorted int64 LE)."""
     if b is None:

@@ -5,7 +5,10 @@ Stages (each one an idempotent checkpoint table):
     signatures   : pages -> (doc_id, sh, sig, simhash)
     cand_pairs   : band-explode + bucket self-join (+ SimHash chunks)
     dup_pairs    : exact-Jaccard verified pairs (+ SimHash Hamming pairs
-                   + suffix long-repeat pairs when enabled)
+                   + suffix long-repeat pairs when enabled); with
+                   cfg.verify_screen the two-tier MinHash-prefix screen
+                   verifies instead (clear accepts report est-Jaccard,
+                   only the uncertainty band gathers full shingle sets)
     clusters     : union-find fixpoint over dup_pairs, singletons included
 
 Resume semantics (the reference's cache-the-expensive-intermediate pattern,
@@ -38,8 +41,12 @@ from neural_locality_sensitive_hashing_spark.operators.connected_components impo
     clusters_with_singletons,
     connected_components,
 )
+from neural_locality_sensitive_hashing_spark.functions.minhash import make_sig_prefix_udf
 from neural_locality_sensitive_hashing_spark.operators.dedup import signatures_fused
-from neural_locality_sensitive_hashing_spark.operators.verify import jaccard_verify
+from neural_locality_sensitive_hashing_spark.operators.verify import (
+    jaccard_verify,
+    jaccard_verify_screened,
+)
 from neural_locality_sensitive_hashing_spark.sources.checkpoint import CheckpointCatalog
 
 
@@ -71,13 +78,6 @@ class DedupPipeline:
         checkpoint_dir: str,
         input_token: str,
     ):
-        if cfg.verify_screen:
-            raise ValueError(
-                "DedupPipeline checkpoints the exact-verify stages; the "
-                "two-tier screened verify lives in operators.dedup."
-                "minhash_dup_pairs / tools.run_dedup_job (--verify-screen) "
-                "— refusing to silently ignore cfg.verify_screen"
-            )
         self.spark = spark
         self.cfg = cfg
         self.catalog = CheckpointCatalog(spark, checkpoint_dir)
@@ -114,7 +114,16 @@ class DedupPipeline:
 
         def compute_signatures() -> DataFrame:
             sigs = signatures_fused(pages, cfg)
-            return sigs.withColumn("simhash", simhash_udf(F.col("sh")))
+            sigs = sigs.withColumn("simhash", simhash_udf(F.col("sh")))
+            if cfg.verify_screen:
+                # the screen's uint32 estimator prefix, derived from the
+                # full signature so the stage stays one Arrow pass; lands
+                # in the checkpoint (config is part of the fingerprint, so
+                # toggling the screen invalidates downstream stages)
+                sigs = sigs.withColumn(
+                    "sigp", make_sig_prefix_udf(cfg.screen_perms)(F.col("sig"))
+                )
+            return sigs
 
         signatures = self._stage("signatures", compute_signatures, report)
 
@@ -125,6 +134,10 @@ class DedupPipeline:
         cands = self._stage("cand_pairs", compute_cands, report)
 
         def compute_dups() -> DataFrame:
+            if cfg.verify_screen:
+                return jaccard_verify_screened(
+                    cands, signatures.select("doc_id", "sh", "sigp"), cfg
+                )
             return jaccard_verify(cands, signatures.select("doc_id", "sh"), cfg)
 
         dups = self._stage("dup_pairs", compute_dups, report)

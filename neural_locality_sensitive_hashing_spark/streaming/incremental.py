@@ -27,8 +27,10 @@ can touch (≤ store_parts values, driver-side) and reads the store with an
 DIRECTORIES: per-batch input rows from the stores scale with the batch's
 bucket/id coverage, not with total store size (asserted in
 tests/test_streaming.py). At 10^12-doc scale the same layout maps to
-Iceberg partition buckets, with periodic compaction of the per-batch
-files inside each partition.
+Iceberg partition buckets; ``compact_parquet_store`` is the periodic
+maintenance action (Iceberg's `rewrite_data_files`) that collapses the
+per-batch small files inside each partition — wire it with
+``compact_every`` or call ``IncrementalDeduper.compact_stores()``.
 
 Equivalence contract vs a batch run over the union of all inputs:
 *identical pair set for buckets below ``bucket_pair_cap``* (each pair is
@@ -44,6 +46,7 @@ over-cap bucket).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,6 +65,47 @@ PAGES_SCHEMA = (
 )
 
 
+def compact_parquet_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Rewrite a parquet append-store so each partition directory holds ONE
+    data file (the Iceberg `rewrite_data_files` maintenance action, done
+    with plain parquet): append-per-batch stores accumulate one small file
+    per batch per partition, and at ~10^5 batches the FILE COUNT — listing,
+    footers, task scheduling — becomes the scan bound, not the bytes.
+
+    Rewrites into a sibling temp dir, then swaps directories, so a crash
+    mid-rewrite leaves either the old or the new store intact (call it
+    between triggers — foreachBatch is serialized, so batch K+1 never races
+    the swap).  ``partition_col`` keeps the hash-pruning layout unchanged:
+    a partition value maps to exactly one shuffle task, so `repartition(col)
+    → partitionBy(col)` yields exactly one file per directory.  On a real
+    cluster set ``max_records_per_file`` so a hot partition still splits
+    into executor-memory-sized files.
+    """
+    if not os.path.exists(path):
+        return
+    df = spark.read.parquet(path)
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    writer = df.repartition(F.col(partition_col)).write if partition_col else (
+        df.coalesce(1).write
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 class IncrementalDeduper:
     """foreachBatch sink: maintains signature + band + dup-pair stores."""
 
@@ -72,14 +116,24 @@ class IncrementalDeduper:
         state_dir: str,
         band_store_parts: int = 64,
         sig_store_parts: int = 16,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.band_store_parts = band_store_parts
         self.sig_store_parts = sig_store_parts
+        self.compact_every = compact_every
         self.sig_store = os.path.join(state_dir, "signatures")
         self.band_store = os.path.join(state_dir, "bands")
         self.pair_store = os.path.join(state_dir, "dup_pairs")
+
+    def compact_stores(self) -> None:
+        """Maintenance: collapse each store partition's per-batch small
+        files into one, layout (and therefore directory pruning) unchanged.
+        Runs automatically every ``compact_every`` batches when set."""
+        compact_parquet_store(self.spark, self.band_store, "pfx")
+        compact_parquet_store(self.spark, self.sig_store, "id_pfx")
+        compact_parquet_store(self.spark, self.pair_store, None)
 
     def _read_store(self, path: str) -> DataFrame | None:
         if not os.path.exists(path):
@@ -179,6 +233,8 @@ class IncrementalDeduper:
         cands.unpersist()
         new_bands.unpersist()
         new_sigs.unpersist()
+        if self.compact_every and (int(batch_id) + 1) % self.compact_every == 0:
+            self.compact_stores()
 
     def dup_pairs(self) -> DataFrame:
         return (

@@ -9,10 +9,22 @@ survive across micro-batches in Spark's state store, so the operator is
 incremental: each batch touches only the groups that received events —
 the streaming analogue of the batch query's single user_id exchange.
 
+Idle-session flush: with a watermark (`watermark_delay`) the operator
+registers an EVENT-TIME TIMEOUT at ``last_ts + gap_sec`` for every open
+session. Once the watermark passes that point no event can legally extend
+the session (later events would, by definition of the gap, start a NEW
+session; earlier ones are beyond the watermark and dropped), so the state
+store fires the timeout, the open session is emitted, and its state is
+removed — state size stays bounded by the number of genuinely-active
+users, and the stream's cumulative output converges to the batch query's
+FULL output (closed + final sessions), not batch-minus-open.
+
 Equivalence contract (tests/test_sessionize_stream.py): over any split of
-a time-ordered event log into micro-batches, the emitted CLOSED sessions
-are exactly the batch sessionization's sessions minus each user's final
-(still-open) one.
+a time-ordered event log into micro-batches, the emitted sessions are
+exactly the batch sessionization's sessions — every session whose
+``last_ts + gap_sec`` the watermark has passed, plus closed-by-arrival
+sessions; with NoTimeout (watermark_delay=None) the final open session
+per user stays in state, as before.
 """
 
 from __future__ import annotations
@@ -28,9 +40,18 @@ SESSION_SCHEMA = (
     "n_events bigint, sum_value double"
 )
 STATE_SCHEMA = "start double, last double, n bigint, s double"
+_COLS = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
 
 
-def make_sessionizer(gap_sec: int = 1800):
+def _emit(rows: list[tuple]) -> pd.DataFrame:
+    out = pd.DataFrame(rows, columns=_COLS)
+    out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
+    out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def make_sessionizer(gap_sec: int = 1800, event_time_timeout: bool = False):
     """(key, batches, state) function for applyInPandasWithState."""
 
     def sessionize(
@@ -39,6 +60,13 @@ def make_sessionizer(gap_sec: int = 1800):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if event_time_timeout and state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session can never be
+            # extended — flush it and drop the group's state entirely.
+            start, last, n, s = state.get
+            state.remove()
+            yield _emit([(user_id, start, last, n, s)])
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         if state.exists:
@@ -58,29 +86,41 @@ def make_sessionizer(gap_sec: int = 1800):
             s += float(value)
             last = max(last, t)
         state.update((float(start), float(last), int(n), float(s)))
+        if event_time_timeout:
+            # fire once the watermark passes the gap horizon; Spark rejects
+            # timestamps at-or-before the current watermark, so clamp just
+            # above it (the session is then flushed on the next trigger).
+            horizon_ms = int((last + gap_sec) * 1000) + 1
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
         if closed:
-            out = pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
-            )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
-            out["sum_value"] = out["sum_value"].round(4)
-            yield out
+            yield _emit(closed)
 
     return sessionize
 
 
-def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
-    """Streaming (user_id, ts, event_id, value) -> closed-session rows.
+def sessionize_stream(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Streaming (user_id, ts, event_id, value) -> session rows.
 
-    Works on a streaming OR batch DataFrame (the stateful operator is only
-    meaningful on streams; batch runs treat the whole input as one batch
-    and emit every closed session)."""
+    ``watermark_delay`` (e.g. ``"0 seconds"``, ``"10 minutes"``) enables
+    the event-time-timeout flush of idle sessions described in the module
+    docstring; ``None`` keeps the original closed-by-arrival-only
+    behaviour (NoTimeout). Works on a streaming OR batch DataFrame (the
+    stateful operator is only meaningful on streams; batch runs treat the
+    whole input as one batch and emit every closed session)."""
+    if watermark_delay is not None:
+        events = events.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        make_sessionizer(gap_sec),
+        make_sessionizer(gap_sec, event_time_timeout=watermark_delay is not None),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -98,3 +98,55 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         f"missing={list(closed_ref - got)[:3]} extra={list(got - closed_ref)[:3]}"
     )
     assert len(got) > 20  # the fixture really exercises multi-session users
+
+
+def test_watermark_flushes_idle_sessions(spark, tmp_path):
+    """With a watermark + event-time timeout, every session is emitted once
+    the watermark passes last_ts + gap — the stream's cumulative output
+    equals the FULL batch sessionization (closed + final sessions), not
+    batch-minus-open."""
+    pdf = _gen_events()
+    input_dir = str(tmp_path / "incoming")
+    os.makedirs(input_dir)
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    cut1, cut2 = len(pdf) // 3, 2 * len(pdf) // 3
+    for i, part in enumerate([pdf[:cut1], pdf[cut1:cut2], pdf[cut2:]]):
+        spark.createDataFrame(part).coalesce(1).write.parquet(f"{input_dir}/b{i}.parquet")
+    # sentinel batch: one far-future event from a user id outside the
+    # fixture advances the watermark beyond every real last_ts + gap (the
+    # watermark is computed from the PREVIOUS batch's max event time, so
+    # the flush needs one more trigger after the last real data)
+    sentinel_uid = 10_000
+    sentinel = pd.DataFrame(
+        [(99_999, pdf["ts"].max() + pd.Timedelta(seconds=10 * GAP), sentinel_uid, 0.0)],
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    spark.createDataFrame(sentinel).coalesce(1).write.parquet(f"{input_dir}/b3.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{input_dir}/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=GAP, watermark_delay="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_flush")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(),
+         r.n_events, round(r.sum_value, 4))
+        for r in spark.sql("SELECT * FROM sessions_flush").collect()
+    }
+    ref = _batch_sessions(pdf)  # full: closed AND each user's final session
+    assert got == ref, (
+        f"missing={list(ref - got)[:3]} extra={list(got - ref)[:3]}"
+    )
+    # only the sentinel's own open session may remain unflushed
+    assert not any(uid == sentinel_uid for uid, *_ in got)

@@ -128,3 +128,71 @@ def test_incremental_overcap_bucket_cluster_equivalence(spark, tmp_path):
     }
     assert inc_labels == bat_labels
     assert len(set(inc_labels.values())) == 1  # all 40 identical docs: one cluster
+
+
+def test_store_compaction_bounds_files_and_preserves_output(spark, pages_1k, tmp_path):
+    """compact_stores() collapses per-batch small files to one per partition
+    directory, leaves the pair set bit-identical, keeps pruning working, and
+    a subsequent batch appends cleanly on top of the compacted layout."""
+    import glob
+
+    from neural_locality_sensitive_hashing_spark.streaming.incremental import (
+        IncrementalDeduper,
+    )
+
+    pages_path, _ = pages_1k
+    pages = spark.read.parquet(pages_path)
+    dedup = IncrementalDeduper(spark, CFG, str(tmp_path / "state"))
+
+    # drive 3 batches directly (same path foreachBatch takes)
+    for i in range(3):
+        dedup.process_batch(pages.where(f"doc_id % 4 = {i}"), i)
+
+    def data_files(store):
+        return [
+            f for f in glob.glob(f"{store}/**/*.parquet", recursive=True)
+            if os.path.basename(f).startswith("part-")
+        ]
+
+    def files_per_dir(store):
+        per = {}
+        for f in data_files(store):
+            per.setdefault(os.path.dirname(f), 0)
+            per[os.path.dirname(f)] += 1
+        return per
+
+    before_pairs = sorted(
+        (r.a, r.b, r.jaccard) for r in dedup.dup_pairs().collect()
+    )
+    n_before = len(data_files(dedup.band_store))
+    assert max(files_per_dir(dedup.band_store).values()) >= 3  # one per batch
+
+    dedup.compact_stores()
+
+    # bounded: exactly one data file per partition directory, fewer overall
+    for store in (dedup.band_store, dedup.sig_store, dedup.pair_store):
+        per = files_per_dir(store)
+        assert per and all(n == 1 for n in per.values()), per
+    assert len(data_files(dedup.band_store)) < n_before
+
+    # outputs unchanged and pruning still sound after the rewrite
+    after_pairs = sorted((r.a, r.b, r.jaccard) for r in dedup.dup_pairs().collect())
+    assert after_pairs == before_pairs
+    got = {
+        r.doc_id
+        for r in dedup.gather_old_sets(
+            spark.createDataFrame([(4,), (9,)], "doc_id long")
+        ).collect()
+        if r.doc_id in (4, 9)
+    }
+    assert got == {4, 9}
+
+    # the stream keeps going: batch 3 appends onto the compacted stores
+    dedup.process_batch(pages.where("doc_id % 4 = 3"), 3)
+    from neural_locality_sensitive_hashing_spark.operators.dedup import (
+        minhash_dup_pairs as _mdp,
+    )
+
+    streamed = {(r.a, r.b) for r in dedup.dup_pairs().collect()}
+    batch = {(r.a, r.b) for r in _mdp(pages, CFG).collect()}
+    assert streamed == batch
