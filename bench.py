@@ -2,6 +2,12 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Each query runs $BENCH_TRIALS times (default 3) and reports the MEDIAN —
+single-trial numbers on a shared VM cannot distinguish a regression from
+scheduler noise (the round-3 lesson: three queries drifted 9-20% between
+rounds with no code change on their path).  Set BENCH_TRIALS=1 for a
+quick probe.
+
 The per-query numbers are end-to-end (plan + execute + collect-to-count);
 `webtext_dedup` is the flagship: the full MinHash-LSH dedup pipeline over a
 generated 50k-page Common-Crawl-style corpus (datagen time excluded, corpus
@@ -40,6 +46,7 @@ HEADLINE = [
     "ivf_ann_cosine",
     "ann_recall_at_k",
     "learned_ann_cosine",
+    "learned_multiband_ann",
     "embedding_dup_pairs",
     "embedding_dup_pairs_hi",
     "embedding_dup_pairs_fast",
@@ -52,6 +59,13 @@ HEADLINE = [
 ]
 
 WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))
+TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
 def main() -> None:
@@ -73,27 +87,42 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        spark.catalog.clearCache()
+        trials: list[float] = []
+        for _ in range(TRIALS):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            trials.append(time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(_median(trials), 3)
+        print(
+            f"# {name}: median {timings[name]}s over {TRIALS} "
+            f"(min {min(trials):.3f} max {max(trials):.3f}, {n} rows)",
+            file=sys.stderr,
+        )
 
     # flagship: full dedup pipeline over generated webtext (datagen cached)
     cache_dir = os.environ.get("BENCH_WEBTEXT_DIR", f"/tmp/nlsh_bench_webtext_{WEBTEXT_DOCS}")
     pages_path, _ = write_pages_dataset(cache_dir, WEBTEXT_DOCS, seed=42)
     pages = spark.read.parquet(pages_path)
-    t0 = time.time()
     n_docs = pages.count()
-    # 4-byte shingle gather: output-identical (pair-set equality gated in
-    # tests/test_screen.py; cluster invariant 821,479 matched the 8-byte
-    # runs at 1M docs) at half the verify shuffle bytes
-    minhash_dedup_clusters(pages, DedupConfig(shingle_hash_bytes=4)).count()
-    wall = time.time() - t0
+    dedup_trials: list[float] = []
+    for _ in range(TRIALS):
+        t0 = time.time()
+        # 4-byte shingle gather: output-identical (pair-set equality gated
+        # in tests/test_screen.py; cluster invariant 821,479 matched the
+        # 8-byte runs at 1M docs) at half the verify shuffle bytes
+        minhash_dedup_clusters(pages, DedupConfig(shingle_hash_bytes=4)).count()
+        dedup_trials.append(time.time() - t0)
+        spark.catalog.clearCache()
+    wall = _median(dedup_trials)
     timings["webtext_dedup"] = round(wall, 3)
     docs_per_sec = round(n_docs / wall, 1)
-    print(f"# webtext_dedup: {wall:.1f}s for {n_docs} docs = {docs_per_sec} docs/s",
-          file=sys.stderr)
+    print(
+        f"# webtext_dedup: median {wall:.1f}s over {TRIALS} "
+        f"(min {min(dedup_trials):.1f} max {max(dedup_trials):.1f}) "
+        f"for {n_docs} docs = {docs_per_sec} docs/s",
+        file=sys.stderr,
+    )
     # The optional two-tier verify screen is NOT benched here: measured to
     # not pay on this corpus's ~1.2 KB shingle sets (BENCH/BASELINE.md
     # byte-evidence section); bench it via
@@ -106,6 +135,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "trials": TRIALS,
         "webtext_docs": n_docs,
         "webtext_docs_per_sec": docs_per_sec,
     }))

@@ -41,6 +41,7 @@ def train_partitioner(
     pos_mask_k: int = 8,
     objective: str = "contrastive",
     label_bernoulli_p: float | None = None,
+    batch_size: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Fit (W, b) on a sample matrix x (n, d). Positive pairs = exact
     nearest neighbor of each row within the sample (the reference's
@@ -67,7 +68,14 @@ def train_partitioner(
     set, each anchor draws label ~ Bernoulli(p) per epoch and contributes
     ONLY its pull term (label=1) or ONLY its push term (label=0) — the
     reference's sampled-label contrastive batch construction. Contrastive
-    objective only."""
+    objective only.
+
+    ``batch_size`` (R1+R6, ``nlsh/trainers/triplet.py:104-108``): when
+    set, each epoch visits the sample in a fresh random PERMUTATION and
+    takes one Adam step per minibatch — the reference's shuffled
+    epoch-iteration; ``None`` (default) keeps the original full-batch
+    step (one gradient per epoch, order-independent), bit-identical to
+    previous rounds."""
     if objective not in ("contrastive", "triplet"):
         raise ValueError(f"unknown objective {objective!r}")
     rng = np.random.default_rng(seed)
@@ -91,50 +99,44 @@ def train_partitioner(
         k_mask = min(pos_mask_k, n - 2)
         near = np.argpartition(-sim, k_mask, axis=1)[:, :k_mask]
 
-    for _ in range(epochs):
-        if negative_mode == "hardest":
-            # mine in the current code-probability space: nearest row
-            # outside the likely-positive neighborhood (masked argmin)
-            p_cur = _sigmoid(xn @ w + b)
-            sq = (p_cur**2).sum(axis=1)
-            d2 = sq[:, None] + sq[None, :] - 2.0 * (p_cur @ p_cur.T)  # (n, n)
-            d2[rows, rows] = np.inf
-            d2[rows[:, None], near] = np.inf
-            neg = d2.argmin(axis=1)
-        else:
-            neg = rng.integers(0, n, size=n)
+    def adam_step(anchors: np.ndarray, neg_a: np.ndarray) -> None:
+        """One gradient step with the given anchor rows (full sample or a
+        minibatch). Codes are evaluated for ALL rows (pos/neg partners may
+        fall outside the batch); the balance term always averages the full
+        sample, as in the full-batch form."""
+        nonlocal w, b, t, mw, vw, vw_hat, mb, vb, vb_hat
+        m = len(anchors)
         z = xn @ w + b
         p = _sigmoid(z)
         dp = np.zeros_like(p)
 
-        diff_p = p - p[pos]
-        diff_n = p - p[neg]
+        diff_p = p[anchors] - p[pos[anchors]]
+        diff_n = p[anchors] - p[neg_a]
         if objective == "triplet":
             # shared-anchor hinge: clamp(d(a,p) - d(a,n) + margin, 0) —
             # one activity gate drives BOTH the pull and the push
             dist_p = (diff_p**2).sum(axis=1)
             dist_n = (diff_n**2).sum(axis=1)
             active = (dist_p - dist_n + margin > 0).astype(np.float64)[:, None]
-            dp += 2 * diff_p * active / n
-            np.add.at(dp, pos, -2 * diff_p * active / n)
-            dp += -2 * diff_n * active / n
-            np.add.at(dp, neg, 2 * diff_n * active / n)
+            np.add.at(dp, anchors, (2 * diff_p - 2 * diff_n) * active / m)
+            np.add.at(dp, pos[anchors], -2 * diff_p * active / m)
+            np.add.at(dp, neg_a, 2 * diff_n * active / m)
         else:
             if label_bernoulli_p is not None:
-                lbl = (rng.random(n) < label_bernoulli_p).astype(np.float64)[:, None]
+                lbl = (rng.random(m) < label_bernoulli_p).astype(np.float64)[:, None]
             else:
                 lbl = None
             # pull: ||p_i - p_pos||^2
-            pull_g = 2 * diff_p / n if lbl is None else 2 * diff_p * lbl / n
-            dp += pull_g
-            np.add.at(dp, pos, -pull_g)
+            pull_g = 2 * diff_p / m if lbl is None else 2 * diff_p * lbl / m
+            np.add.at(dp, anchors, pull_g)
+            np.add.at(dp, pos[anchors], -pull_g)
             # push: max(0, margin - ||p_i - p_neg||^2)
             dist_n = (diff_n**2).sum(axis=1)
             active = (dist_n < margin).astype(np.float64)[:, None]
             if lbl is not None:
                 active = active * (1.0 - lbl)
-            dp += -2 * diff_n * active / n
-            np.add.at(dp, neg, 2 * diff_n * active / n)
+            np.add.at(dp, anchors, -2 * diff_n * active / m)
+            np.add.at(dp, neg_a, 2 * diff_n * active / m)
         # balance: (mean_i p_ik - 0.5)^2 per bit
         mean_p = p.mean(axis=0)
         dp += balance_weight * 2 * (mean_p - 0.5)[None, :] / n
@@ -152,6 +154,27 @@ def train_partitioner(
         vb = beta2 * vb + (1 - beta2) * gb**2
         vb_hat = np.maximum(vb_hat, vb)
         b -= lr * (mb / (1 - beta1**t)) / (np.sqrt(vb_hat / (1 - beta2**t)) + eps)
+
+    for _ in range(epochs):
+        if negative_mode == "hardest":
+            # mine in the current code-probability space: nearest row
+            # outside the likely-positive neighborhood (masked argmin)
+            p_cur = _sigmoid(xn @ w + b)
+            sq = (p_cur**2).sum(axis=1)
+            d2 = sq[:, None] + sq[None, :] - 2.0 * (p_cur @ p_cur.T)  # (n, n)
+            d2[rows, rows] = np.inf
+            d2[rows[:, None], near] = np.inf
+            neg = d2.argmin(axis=1)
+        else:
+            neg = rng.integers(0, n, size=n)
+        if batch_size is None:
+            adam_step(rows, neg)
+        else:
+            # R1: fresh permutation per epoch; R6: one step per minibatch
+            perm = rng.permutation(n)
+            for i in range(0, n, batch_size):
+                anchors = perm[i : i + batch_size]
+                adam_step(anchors, neg[anchors])
 
     return {"W": w.astype(np.float64), "b": b.astype(np.float64)}
 
@@ -172,6 +195,79 @@ def train_pca_partitioner(x: np.ndarray, n_bits: int = 16) -> dict[str, np.ndarr
     idx = np.abs(v).argmax(axis=0)
     v *= np.sign(v[idx, np.arange(v.shape[1])])
     return {"W": v, "b": -(mean @ v)}
+
+
+def train_multiband_partitioner(
+    x: np.ndarray,
+    n_bands: int = 4,
+    n_bits: int = 10,
+    seed: int = 42,
+    **train_kwargs,
+) -> list[dict[str, np.ndarray]]:
+    """Fit ``n_bands`` INDEPENDENT learned codes (seeds seed..seed+B-1) —
+    the learned analogue of MinHash banding's OR-amplification.  A single
+    learned code is one AND-table: on diffuse corpora its recall ceiling
+    per candidate scanned is set by how much neighborhood one code can
+    capture.  Unioning B independently-trained code tables multiplies the
+    chance a true neighbor shares at least one bucket, exactly like the
+    B-band LSH construction — measured on the diffuse driver embeddings
+    (BENCH/LEARNED_GRID.md): 4x8-bit bands reach recall 0.27 at 7% corpus
+    vs 0.22 for the best single hyperplane banding at the same candidate
+    mass, and dominate the hyperplane frontier up to ~20% mass."""
+    return [
+        train_partitioner(x, n_bits=n_bits, seed=seed + band, **train_kwargs)
+        for band in range(n_bands)
+    ]
+
+
+def multiband_codes_numpy(
+    x: np.ndarray,
+    weights_list: list[dict[str, np.ndarray]],
+    n_probes: int = 1,
+) -> list[list[int]]:
+    """Per-row probe buckets across all bands, band-offset so buckets from
+    different bands never collide: bucket = (band << n_bits) | code."""
+    n_bits = weights_list[0]["W"].shape[1]
+    per_band = [
+        hash_codes_numpy(x, w, n_probes=n_probes) for w in weights_list
+    ]
+    out: list[list[int]] = []
+    for i in range(len(x)):
+        row: list[int] = []
+        for band, codes in enumerate(per_band):
+            off = band << n_bits
+            row.extend(off | c for c in codes[i])
+        out.append(row)
+    return out
+
+
+def make_multiband_code_udf(
+    weights_list: list[dict[str, np.ndarray]], n_probes: int = 1
+):
+    """pandas_udf: array<float> embedding -> array<bigint> probe buckets
+    across ALL bands (band-offset; see multiband_codes_numpy)."""
+    wl = [
+        {"W": w["W"].astype(np.float64), "b": w["b"].astype(np.float64)}
+        for w in weights_list
+    ]
+    h = wl[0]["W"].shape[1]
+    if any(w["W"].shape[1] != h for w in wl):
+        raise ValueError("all bands must share n_bits (the bucket offset)")
+    if n_probes > (1 << h):
+        raise ValueError(f"n_probes={n_probes} exceeds 2^n_bits={1 << h}")
+
+    @pandas_udf(ArrayType(LongType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=object)
+        ok = [i for i, v in enumerate(vecs) if v is not None]
+        if ok:
+            m = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
+            rows = multiband_codes_numpy(m, wl, n_probes=n_probes)
+            for j, i in enumerate(ok):
+                out[i] = rows[j]
+        return pd.Series(out)
+
+    return codes
 
 
 def save_partitioner(path: str, weights: dict[str, np.ndarray]) -> None:

@@ -19,6 +19,8 @@ from neural_locality_sensitive_hashing_spark.functions.embedding import (
 )
 from neural_locality_sensitive_hashing_spark.learned.partitioner import (
     make_learned_code_udf,
+    make_multiband_code_udf,
+    train_multiband_partitioner,
     train_partitioner,
 )
 from neural_locality_sensitive_hashing_spark.operators.candidates import candidate_pairs
@@ -32,6 +34,7 @@ def fit_partitioner_on_sample(
     n_bits: int = 16,
     sample_rows: int = 2048,
     seed: int = 42,
+    **train_kwargs,
 ) -> dict[str, np.ndarray]:
     """Driver-side training scan: sample embeddings, fit numpy partitioner.
     The only cluster work is the sampling scan (SURVEY §3 E1 re-expression:
@@ -51,7 +54,31 @@ def fit_partitioner_on_sample(
         vecs = vecs.sample(fraction=frac, seed=seed)
     sample = vecs.limit(sample_rows).collect()
     x = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    return train_partitioner(x, n_bits=n_bits, seed=seed)
+    return train_partitioner(x, n_bits=n_bits, seed=seed, **train_kwargs)
+
+
+def fit_multiband_on_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    n_bits: int = 10,
+    sample_rows: int = 2048,
+    seed: int = 42,
+    **train_kwargs,
+) -> list[dict[str, np.ndarray]]:
+    """One sampling scan, B independent fits (seeds seed..seed+B-1) — see
+    ``train_multiband_partitioner`` for why the union of bands dominates a
+    single learned code on diffuse corpora."""
+    vecs = df.select(vec_col).where(F.col(vec_col).isNotNull())
+    n = vecs.count()
+    if n > sample_rows:
+        frac = min(1.0, 2.0 * sample_rows / n)
+        vecs = vecs.sample(fraction=frac, seed=seed)
+    sample = vecs.limit(sample_rows).collect()
+    x = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    return train_multiband_partitioner(
+        x, n_bands=n_bands, n_bits=n_bits, seed=seed, **train_kwargs
+    )
 
 
 def learned_dup_pairs(
@@ -155,12 +182,45 @@ def learned_ann(
     vector ×n_probes and the (query_id, neighbor_id) dedup exchange would
     be ~17× wider than ids-only. Vectors are gathered back AFTER the
     dedup (query side broadcast) and an Arrow kernel re-ranks."""
+    corpus_codes = make_learned_code_udf(weights, n_probes=1)
+    query_codes = make_learned_code_udf(weights, n_probes=n_probes)
+    return _code_join_ann(queries, corpus, corpus_codes, query_codes, k, id_col, vec_col)
+
+
+def learned_ann_multiband(
+    queries: DataFrame,
+    corpus: DataFrame,
+    weights_list: list[dict[str, np.ndarray]],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN with B independent learned codes unioned (OR-amplification —
+    the learned analogue of MinHash banding; see
+    ``train_multiband_partitioner``).  One explode emits every band's
+    probe buckets band-offset (buckets never collide across bands), so the
+    plan shape — and the ids-only shuffle discipline — is IDENTICAL to
+    single-band ``learned_ann``: still one bucket equi-join + one dedup
+    exchange, not B joins.  ``n_probes`` is per band."""
+    corpus_codes = make_multiband_code_udf(weights_list, n_probes=1)
+    query_codes = make_multiband_code_udf(weights_list, n_probes=n_probes)
+    return _code_join_ann(queries, corpus, corpus_codes, query_codes, k, id_col, vec_col)
+
+
+def _code_join_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    corpus_codes,
+    query_codes,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     from neural_locality_sensitive_hashing_spark.operators.similarity import (
         _cosine_udf,
     )
 
-    corpus_codes = make_learned_code_udf(weights, n_probes=1)
-    query_codes = make_learned_code_udf(weights, n_probes=n_probes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.explode(corpus_codes(F.col(vec_col))).alias("bucket"),

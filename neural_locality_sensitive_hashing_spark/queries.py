@@ -495,6 +495,118 @@ def q_learned_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learned_ann(queries, emb, weights, k=ANN_K, n_probes=LEARNED_PROBES)
 
 
+MB_BANDS = 4
+
+
+@functools.lru_cache(maxsize=4)
+def _multiband_weights_for(sf_dir: str):
+    """Same deterministic slice as _learned_weights_for, B independent
+    fits (seeds 42..42+B-1) — replayable as SQL literals per band."""
+    import pyarrow.parquet as pq
+
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        train_multiband_partitioner,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return train_multiband_partitioner(
+        x, n_bands=MB_BANDS, n_bits=LEARNED_BITS, seed=42
+    )
+
+
+def q_learned_multiband_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band learned ANN: B independently-trained codes unioned (the
+    learned analogue of LSH banding's OR-amplification — measured to
+    dominate the single hyperplane banding's recall-per-candidate frontier
+    on the diffuse corpus, BENCH/LEARNED_GRID.md). Plan shape identical to
+    learned_ann: one band-offset explode, one bucket equi-join, ids-only
+    dedup, post-dedup vector gather. The oracle replays all B weight
+    matrices and joins on (band, code)."""
+    from neural_locality_sensitive_hashing_spark.operators.learned import (
+        learned_ann_multiband,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    wl = _multiband_weights_for(sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return learned_ann_multiband(queries, emb, wl, k=ANN_K, n_probes=LEARNED_PROBES)
+
+
+def _sql_learned_multiband_ann(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle for q_learned_multiband_ann: the single-band replay
+    (_sql_learned_ann) with a band column threaded through every CTE;
+    candidates join on (band, code) — equivalent to the engine's
+    band-offset buckets."""
+    wl = _multiband_weights_for(sf_dir)
+    h = LEARNED_BITS
+    rows = []
+    for band, w in enumerate(wl):
+        W, b = w["W"], w["b"]
+        for k in range(h):
+            arr = "[" + ", ".join(repr(float(v)) for v in W[:, k]) + "]"
+            rows.append(f"({band}, {k}, {arr}::DOUBLE[], {float(b[k])!r})")
+    wvals = ",\n".join(rows)
+    return f"""
+WITH wcols(band, k, wv, bk) AS (VALUES
+{wvals}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT vec_id, band, k,
+         1.0 / (1.0 + exp(-greatest(least(list_dot_product(v, wv) + bk, 30.0), -30.0)))
+           AS pk
+  FROM e CROSS JOIN wcols
+),
+base AS (
+  SELECT vec_id, band,
+         sum(CASE WHEN pk > 0.5 THEN CAST(1 << ({h - 1} - k) AS BIGINT) ELSE 0 END)
+           AS code
+  FROM p GROUP BY vec_id, band
+),
+conf AS (
+  SELECT vec_id, band, k,
+         row_number() OVER (PARTITION BY vec_id, band
+                            ORDER BY abs(pk - 0.5) ASC, k ASC) AS rnk
+  FROM p
+),
+flips AS (
+  SELECT vec_id, band,
+         max(CASE WHEN rnk = 1 THEN CAST(1 << ({h - 1} - k) AS BIGINT) END) AS f0,
+         max(CASE WHEN rnk = 2 THEN CAST(1 << ({h - 1} - k) AS BIGINT) END) AS f1,
+         max(CASE WHEN rnk = 3 THEN CAST(1 << ({h - 1} - k) AS BIGINT) END) AS f2
+  FROM conf GROUP BY vec_id, band
+),
+qcodes AS (
+  SELECT vec_id, band, xor(code, s) AS code FROM (
+    SELECT b.vec_id, b.band, b.code,
+           unnest([0, f.f0, f.f1, xor(f.f0, f.f1), f.f2,
+                   xor(f.f0, f.f2), xor(f.f1, f.f2),
+                   xor(xor(f.f0, f.f1), f.f2)]) AS s
+    FROM base b JOIN flips f ON b.vec_id = f.vec_id AND b.band = f.band
+    WHERE b.vec_id < 32
+  )
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qcodes q JOIN base c
+    ON q.band = c.band AND q.code = c.code AND q.vec_id <> c.vec_id
+),
+sim AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM cand JOIN e a ON cand.query_id = a.vec_id
+            JOIN e b ON cand.neighbor_id = b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _sql_learned_ann(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Oracle for q_learned_ann_cosine: full SQL replay of the learned
     multi-probe query path with the fitted (W, b) embedded as literals.
@@ -1481,6 +1593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "long_repeat_pairs": q_long_repeat_pairs,
     "longrepeat_winnowed_pairs": q_longrepeat_winnowed_pairs,
     "learned_ann_cosine": q_learned_ann_cosine,
+    "learned_multiband_ann": q_learned_multiband_ann,
     "doc_profile": q_doc_profile,
     "lang_summary": q_lang_summary,
     "top_tokens": q_top_tokens,
@@ -1549,6 +1662,7 @@ def get_oracles() -> dict[str, str]:
     out = dict(ORACLES)
     try:
         out["learned_ann_cosine"] = _sql_learned_ann()
+        out["learned_multiband_ann"] = _sql_learned_multiband_ann()
         out["ivf_ann_cosine"] = _sql_ivf_ann()
     except Exception:  # noqa: BLE001 — no sf0.01 data in this environment
         pass

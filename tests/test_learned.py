@@ -244,3 +244,79 @@ def test_pca_partitioner_bits():
     agree = (top_bit == want).mean()
     assert agree >= 0.95 or agree <= 0.05  # sign of PC is canonical either way
     assert len(set(codes)) >= 2
+
+
+def test_minibatch_epoch_permutation_trains():
+    """R1+R6 (nlsh/trainers/triplet.py:104-108): batch_size enables the
+    reference's shuffled epoch iteration — one Adam step per minibatch over
+    a fresh permutation — and meets the same cohesion/balance gates as the
+    full-batch default, which stays bit-deterministic."""
+    from collections import Counter
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((20, 32))
+    x = np.repeat(centers, 30, axis=0) + 0.05 * rng.standard_normal((600, 32))
+
+    w_mb = train_partitioner(x, n_bits=10, epochs=40, seed=42, batch_size=128)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    codes = np.array([c[0] for c in hash_codes_numpy(xn, w_mb)])
+    single = sum(len(set(codes[i * 30 : (i + 1) * 30])) == 1 for i in range(20))
+    assert single >= 12
+    assert max(Counter(codes.tolist()).values()) <= 60
+
+    # permutation actually changes the trajectory vs full-batch ...
+    w_full = train_partitioner(x, n_bits=10, epochs=40, seed=42)
+    assert not np.array_equal(w_full["W"], w_mb["W"])
+    # ... and the default path is unchanged + deterministic
+    w_full2 = train_partitioner(x, n_bits=10, epochs=40, seed=42)
+    assert all(np.array_equal(w_full[k], w_full2[k]) for k in w_full)
+
+
+def test_multiband_union_beats_single_band(spark, clustered_vectors):
+    """OR-amplification: B independent learned codes unioned cover at
+    least as much of the true neighborhood as any one of them, and the
+    Spark operator matches the numpy kernel (band-offset buckets)."""
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        multiband_codes_numpy,
+        train_multiband_partitioner,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.learned import (
+        learned_ann_multiband,
+    )
+
+    x = np.array(
+        [r.embedding for r in clustered_vectors.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    wl = train_multiband_partitioner(x, n_bands=4, n_bits=10, epochs=40, seed=42)
+    q = clustered_vectors.where(F.col("vec_id") < 40)
+    exact = knn_bruteforce(q, clustered_vectors, k=10).collect()
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(truth[qq] & got.get(qq, set())) / len(truth[qq]) for qq in truth
+        ) / len(truth)
+
+    multi = recall(
+        learned_ann_multiband(q, clustered_vectors, wl, k=10, n_probes=4).collect()
+    )
+    single = recall(
+        learned_ann(q, clustered_vectors, wl[0], k=10, n_probes=4).collect()
+    )
+    assert multi >= single, f"union lost recall: {multi:.3f} < {single:.3f}"
+    assert multi >= 0.9, f"multiband recall {multi:.3f}"
+
+    # Spark operator == numpy kernel on bucket assignment (probe union)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rows = multiband_codes_numpy(x[:5], wl, n_probes=2)
+    assert len(rows) == 5 and all(len(r) == 8 for r in rows)  # 4 bands x 2
+    n_bits = wl[0]["W"].shape[1]
+    for r in rows:
+        bands_seen = {c >> n_bits for c in r}
+        assert bands_seen == {0, 1, 2, 3}  # offsets keep bands disjoint

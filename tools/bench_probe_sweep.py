@@ -140,6 +140,63 @@ def sweep_corpus(spark, emb, corpus_label: str) -> list[str]:
         )
         ann.unpersist()
         print(corpus_label, lines[-1], file=sys.stderr)
+    # multi-band learned (4 x 10-bit, the BENCH/LEARNED_GRID.md winner):
+    # B independent fits unioned via band-offset buckets — the learned
+    # analogue of banding's OR-amplification; beats the hyperplane
+    # recall-per-candidate frontier at every measured mass on the diffuse
+    # corpus (grid artifact)
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        make_multiband_code_udf,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.learned import (
+        fit_multiband_on_sample,
+        learned_ann_multiband,
+    )
+
+    lines += [
+        "",
+        f"## {corpus_label} — multi-band learned (4 bands x 10 bits, probes per band)",
+        "",
+        "| probes/band | recall@10 | mean candidates | % of corpus | wall (s) |",
+        "|---|---|---|---|---|",
+        f"| exact kNN (yardstick) | 1.000 | {n_corpus} | 100% | {exact_wall:.1f} |",
+    ]
+    wl = fit_multiband_on_sample(emb, n_bands=4, n_bits=10, seed=42)
+    for n_probes in [1, 2, 4, 8, 16]:
+        t0 = time.time()
+        ann = (
+            learned_ann_multiband(queries, emb, wl, k=K, n_probes=n_probes)
+            .select("query_id", "neighbor_id")
+            .persist()
+        )
+        rec = mean_recall_at_k(ann, exact, k=K)
+        mb_q = make_multiband_code_udf(wl, n_probes=n_probes)
+        mb_c = make_multiband_code_udf(wl, n_probes=1)
+        n_cand = (
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(mb_q("embedding")).alias("bucket"),
+            )
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.explode(mb_c("embedding")).alias("bucket"),
+                ),
+                "bucket",
+            )
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .count()
+        )
+        wall = time.time() - t0
+        ann.unpersist()
+        mean_c = n_cand / N_QUERIES
+        lines.append(
+            f"| {n_probes} | {rec:.3f} | {mean_c:.0f} | "
+            f"{100.0 * mean_c / n_corpus:.1f}% | {wall:.1f} |"
+        )
+        print(corpus_label, lines[-1], file=sys.stderr)
+
     # E2LSH (Euclidean) multi-probe: the K6 knob on the L2 path — probes
     # step the least-confident quantized coordinate toward its boundary
     lines += [
@@ -207,7 +264,12 @@ def main() -> None:
         "candidate mass: the adversarial case for any space partitioner,",
         "kept as the honesty check. Per candidate scanned the learned",
         "partitioner beats raw hyperplanes at the low end on both corpora",
-        "(the bucket-balance training at work).",
+        "(the bucket-balance training at work), and the MULTI-BAND learned",
+        "construction (4 independent codes unioned — OR-amplification, the",
+        "BENCH/LEARNED_GRID.md winner) extends that dominance across every",
+        "measured mass point: e.g. diffuse 0.211 vs ~0.12 interpolated",
+        "hyperplane recall at 3.2% mass, clustered 0.997 recall at 1.3%",
+        "mass vs 5.0% for the first hyperplane point.",
         "",
         f"Reproduce: `python tools/bench_probe_sweep.py {sf_dir}`",
     ]

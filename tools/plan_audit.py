@@ -27,6 +27,7 @@ AUDITED = [
     "ann_lsh_l2",
     "ivf_ann_cosine",
     "learned_ann_cosine",
+    "learned_multiband_ann",
     "user_sessions",
     "unique_documents",
     "long_repeat_pairs",
