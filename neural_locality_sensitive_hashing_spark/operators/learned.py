@@ -84,24 +84,39 @@ def fit_multiband_on_sample(
 def learned_dup_pairs(
     docs: DataFrame,
     cfg: DedupConfig,
-    weights: dict[str, np.ndarray] | None = None,
+    weights: dict[str, np.ndarray] | list[dict[str, np.ndarray]] | None = None,
     n_probes: int = 4,
     embed_dim: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Dedup with the learned partitioner: embed -> probe codes -> bucket
     self-join -> exact-Jaccard verify. Verification threshold and skew
     handling are identical to the MinHash path, so the two partitioners are
     directly comparable on candidate fan-out (the reference's `query_size`
-    metric, ``nlsh/trainers/base.py:98``)."""
+    metric, ``nlsh/trainers/base.py:98``).
+
+    Pass a weights LIST (or ``n_bands``) for the multi-band construction —
+    the north star's "learned partitioner replacing random banding":
+    B independent codes unioned via band-offset buckets, same single
+    grouped exchange (see BENCH/LEARNED_DEDUP.md for the measured
+    candidate-fan-out comparison against MinHash banding)."""
     embed = make_hashed_embedding_udf(dim=embed_dim, seed=cfg.minhash_seed)
     emb = docs.select(
         F.col(id_col).alias("doc_id"), embed(F.col(text_col)).alias("embedding")
     ).persist()
     if weights is None:
-        weights = fit_partitioner_on_sample(emb, seed=cfg.minhash_seed)
-    code_udf = make_learned_code_udf(weights, n_probes=n_probes)
+        if n_bands:
+            weights = fit_multiband_on_sample(
+                emb, n_bands=n_bands, seed=cfg.minhash_seed
+            )
+        else:
+            weights = fit_partitioner_on_sample(emb, seed=cfg.minhash_seed)
+    if isinstance(weights, list):
+        code_udf = make_multiband_code_udf(weights, n_probes=n_probes)
+    else:
+        code_udf = make_learned_code_udf(weights, n_probes=n_probes)
     buckets = emb.select(
         "doc_id", F.posexplode(code_udf(F.col("embedding"))).alias("band", "bucket")
     )

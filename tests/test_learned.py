@@ -320,3 +320,22 @@ def test_multiband_union_beats_single_band(spark, clustered_vectors):
     for r in rows:
         bands_seen = {c >> n_bits for c in r}
         assert bands_seen == {0, 1, 2, 3}  # offsets keep bands disjoint
+
+
+def test_multiband_learned_dedup_finds_exact_dups(spark):
+    """The multi-band learned partitioner as the DEDUP bucketer (the north
+    star's 'learned partitioner replacing random banding'): same gate as
+    the single-code path."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+    docs = []
+    for i in range(60):
+        toks = [vocab[j] for j in rng.integers(0, 5000, 80)]
+        docs.append((2 * i, " ".join(toks)))
+        docs.append((2 * i + 1, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = learned_dup_pairs(df, CFG, n_bands=4, n_probes=2)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(60)}
+    missed = want - got
+    assert not missed, f"multiband learned partitioner missed: {missed}"
