@@ -3,8 +3,11 @@
 The sandbox ships no PIL/libav, but PNG and WAV are decodable with the
 stdlib alone — zlib inflate + filter reconstruction for PNG, RIFF chunk
 walk + PCM frombuffer for WAV — so those two formats get REAL decode
-paths; PIL is tried first when present (`decode_image_pixels`). Video
-container demuxing stays a documented stub in functions/multimodal.py.
+paths; PIL is tried first when present (`decode_image_pixels`). MP4 /
+ISO-BMFF containers are parsed for real too (`parse_mp4`: box walk
+collecting mvhd/tkhd/stsd/stsz/stco; `sample_video_frames`: exact frame
+byte slices at the container's own boundaries); only per-frame video
+CODEC decode remains stubbed in functions/multimodal.py.
 
 All functions are deterministic and None-safe: unrecognized payloads
 return None and the caller falls back to the stub featureizer (tagged so
@@ -231,6 +234,161 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container parsing (pure struct walk — no codec decode)
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in buf[start:end]."""
+    off = start
+    while off + 8 <= end:
+        size, btype = struct.unpack(">I4s", buf[off : off + 8])
+        body = off + 8
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[off + 8 : off + 16])
+            body = off + 16
+        elif size == 0:  # to end of file
+            size = end - off
+        if size < 8 or off + size > end:
+            return
+        yield btype, body, off + size
+        off += size
+
+
+def parse_mp4(payload: bytes) -> dict | None:
+    """Container-level metadata of an ISO-BMFF (MP4) payload, or None.
+
+    A real box walk — ftyp gate, then moov/trak/mdia/minf/stbl descent
+    collecting mvhd (timescale, duration), tkhd (width, height), stsd
+    (sample-entry fourcc), stsz (per-frame sizes — the TRUE frame count),
+    and stco/co64 (chunk offsets). Codec decode of the frames themselves
+    is out of scope (no libav in-sandbox); everything the CONTAINER
+    carries is parsed for real."""
+    if len(payload) < 16:
+        return None
+    head = list(_mp4_boxes(payload, 0, len(payload)))
+    if not head or head[0][0] != b"ftyp":
+        return None
+    info: dict = {"brand": payload[head[0][1] : head[0][1] + 4].decode("ascii", "replace")}
+
+    def walk(start: int, end: int) -> None:
+        for btype, b0, b1 in _mp4_boxes(payload, start, end):
+            if btype in _MP4_CONTAINERS:
+                walk(b0, b1)
+            elif btype == b"mvhd" and b1 - b0 >= 20:
+                ver = payload[b0]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", payload[b0 + 20 : b0 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", payload[b0 + 12 : b0 + 20])
+                info["timescale"] = ts
+                info["duration_sec"] = round(dur / ts, 6) if ts else 0.0
+            elif btype == b"tkhd" and b1 - b0 >= 84:
+                w16, h16 = struct.unpack(">II", payload[b1 - 8 : b1])
+                info["width"], info["height"] = w16 >> 16, h16 >> 16
+            elif btype == b"stsd" and b1 - b0 >= 16:
+                # body: version/flags(4) + entry_count(4) + entry size(4) + fourcc(4)
+                info["codec"] = payload[b0 + 12 : b0 + 16].decode("ascii", "replace")
+            elif btype == b"stsz" and b1 - b0 >= 12:
+                uniform, count = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
+                info["frame_count"] = count
+                if uniform:
+                    info["frame_sizes"] = [uniform] * count
+                else:
+                    info["frame_sizes"] = list(
+                        struct.unpack(f">{count}I", payload[b0 + 12 : b0 + 12 + 4 * count])
+                    )
+            elif btype == b"stco" and b1 - b0 >= 8:
+                (n,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                info["chunk_offsets"] = list(
+                    struct.unpack(f">{n}I", payload[b0 + 8 : b0 + 8 + 4 * n])
+                )
+            elif btype == b"mdat":
+                info["mdat_offset"], info["mdat_end"] = b0, b1
+
+    try:
+        for btype, b0, b1 in head:
+            if btype == b"moov":
+                walk(b0, b1)
+            elif btype == b"mdat":
+                info["mdat_offset"], info["mdat_end"] = b0, b1
+    except struct.error:
+        return None
+    return info if "frame_count" in info else info
+
+
+def sample_video_frames(
+    payload: bytes, info: dict, max_frames: int = 8
+) -> list[bytes]:
+    """Evenly-spaced frame SAMPLES as raw byte slices, located via the
+    container's own stsz sizes + first chunk offset (frames contiguous in
+    mdat — the layout our encoder and most faststart MP4s use). This is
+    the real frame-sampling half of the video pipeline; only the codec
+    decode of each frame's bytes remains stubbed."""
+    sizes = info.get("frame_sizes")
+    if not sizes:
+        return []
+    base = (info.get("chunk_offsets") or [info.get("mdat_offset", 0)])[0]
+    offsets = [base]
+    for s in sizes[:-1]:
+        offsets.append(offsets[-1] + s)
+    n = len(sizes)
+    idx = sorted({int(i * (n - 1) / max(1, max_frames - 1)) for i in range(min(max_frames, n))})
+    out = []
+    for i in idx:
+        lo, hi = offsets[i], offsets[i] + sizes[i]
+        if hi <= len(payload):
+            out.append(payload[lo:hi])
+    return out
+
+
+def encode_mp4(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal structurally-valid ISO-BMFF writer (ftyp + moov with one
+    raw-fourcc video track + contiguous mdat) — the deterministic test /
+    datagen inverse of parse_mp4 / sample_video_frames."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", 8 + len(body), btype) + body
+
+    n = len(frames)
+    timescale = fps
+    mvhd = box(b"mvhd", b"\x00" + b"\x00" * 11 + struct.pack(">II", timescale, n) + b"\x00" * 80)
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 16 + b"\x00" * 56
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    # sample entry: size(4) + fourcc(4) + reserved(6) + data_ref_index(2)
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + struct.pack(">I4s", 16, b"raw ") + b"\x00" * 8)
+    stts = box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsc = box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames))
+    # stco needs the absolute mdat body offset: compute sizes bottom-up
+    # with a placeholder, then rewrite (single pass, fixed layout)
+    def assemble(mdat_body_off: int) -> bytes:
+        stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", mdat_body_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdhd = box(b"mdhd", b"\x00" * 12 + struct.pack(">II", timescale, n) + b"\x00" * 4)
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        return moov
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    moov = assemble(0)
+    mdat_body_off = len(ftyp) + len(moov) + 8
+    moov = assemble(mdat_body_off)  # same length: placeholder only changed value
+    mdat = box(b"mdat", b"".join(frames))
+    return ftyp + moov + mdat
 
 
 def image_feature(pixels: np.ndarray, dim: int) -> np.ndarray:

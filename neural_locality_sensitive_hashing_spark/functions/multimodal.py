@@ -4,12 +4,17 @@ The Spark-side contract is real and tested — schema, Arrow batch shape,
 `mapInPandas` iterator signature, partition-preserving metadata extraction.
 Decode is tiered per payload (functions/codecs.py):
 
-    1. REAL stdlib decoders — pure-python PNG (zlib inflate + filter
-       reconstruction) and PCM-16 WAV — tried first so PNG/WAV features
-       are identical with or without optional libraries installed,
+    1. REAL stdlib decoders/demuxers — pure-python PNG (zlib inflate +
+       filter reconstruction), PCM-16 WAV, and ISO-BMFF/MP4 container
+       parsing (box walk: true stsz frame counts, stco-located frame byte
+       slices) — tried first so these formats behave identically with or
+       without optional libraries installed,
     2. PIL when importable (images in other formats),
-    3. the deterministic `_fake_decode_*` stub for everything else
-       (video container demux needs libav, absent here).
+    3. the deterministic `_fake_decode_*` stub for everything else.
+       The ONLY remaining stub surface is per-frame video CODEC decode
+       (pixels from h264/vp9 bytes need libav, absent here); the
+       container layer — metadata, frame counts, frame sampling — is
+       real.
 
 Which tier fired is observable in the ``decoder`` output column — the
 fallback is never silent.
@@ -51,23 +56,37 @@ MEDIA_FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_features(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
-    """(feature, decoder-tag): real decode when the format allows, stub
-    otherwise. Tags: 'pil' / 'real-png' / 'real-wav' / 'stub'."""
+def _decode_features(payload: bytes, kind: str) -> tuple[np.ndarray, str, int]:
+    """(feature, decoder-tag, frame_count): real decode when the format
+    allows, stub otherwise. Tags: 'pil' / 'real-png' / 'real-wav' /
+    'real-mp4-container' / 'stub'. For MP4 video the CONTAINER is parsed
+    for real (box walk: true stsz frame count, stco-located frame byte
+    slices); only the per-frame codec decode is the documented stub —
+    the feature is the mean of the sampled frames' stub features."""
     from neural_locality_sensitive_hashing_spark.functions import codecs
 
     if kind == "image":
         px = codecs.decode_png_pixels(payload)
         if px is not None:
-            return codecs.image_feature(px, FEATURE_DIM), "real-png"
+            return codecs.image_feature(px, FEATURE_DIM), "real-png", 1
         px = codecs.decode_image_pixels(payload)
         if px is not None:
-            return codecs.image_feature(px, FEATURE_DIM), "pil"
+            return codecs.image_feature(px, FEATURE_DIM), "pil", 1
     elif kind == "audio":
         dec = codecs.decode_wav_samples(payload)
         if dec is not None:
-            return codecs.audio_feature(dec[0], dec[1], FEATURE_DIM), "real-wav"
-    return _fake_decode_features(payload, kind), "stub"
+            return codecs.audio_feature(dec[0], dec[1], FEATURE_DIM), "real-wav", 1
+    elif kind == "video":
+        info = codecs.parse_mp4(payload)
+        if info is not None and info.get("frame_count"):
+            fr = codecs.sample_video_frames(payload, info, max_frames=8)
+            if fr:
+                f = np.mean(
+                    [_fake_decode_features(b, "video-frame") for b in fr], axis=0
+                )
+                f = (f / max(np.linalg.norm(f), 1e-12)).astype(np.float32)
+                return f, "real-mp4-container", int(info["frame_count"])
+    return _fake_decode_features(payload, kind), "stub", _fake_frame_count(payload, kind)
 
 
 def _fake_decode_features(payload: bytes, kind: str) -> np.ndarray:
@@ -103,10 +122,10 @@ def decode_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             decoders = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload) if payload is not None else b""
-                f, tag = _decode_features(raw, kind)
+                f, tag, n_frames = _decode_features(raw, kind)
                 feats.append(f)
                 decoders.append(tag)
-                frames.append(_fake_frame_count(raw, kind))
+                frames.append(n_frames)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -123,19 +142,31 @@ def decode_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     """Frame-sampling plumbing: explode each video payload into frame rows
-    (media_id, frame_idx, frame_feature). The frame decode is the same
-    documented stub; the Spark side — explode shape, per-frame feature
-    schema, payload locality — is real. Images/audio yield one frame."""
+    (media_id, frame_idx, frame_feature). MP4 payloads are sliced at the
+    container's OWN frame boundaries (stsz/stco box walk, codecs.parse_mp4
+    — real demuxed frame bytes); other payloads fall back to fixed-stride
+    byte chunks. The per-frame codec decode is the documented stub; the
+    Spark side — explode shape, per-frame feature schema, payload
+    locality — is real. Images/audio yield one frame."""
+    from neural_locality_sensitive_hashing_spark.functions import codecs
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, feats = [], [], []
             for mid, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
                 raw = bytes(payload) if payload is not None else b""
-                n_frames = _fake_frame_count(raw, kind)
-                step = max(1, every_n_bytes)
-                for fi in range(n_frames):
-                    chunk = raw[fi * step : (fi + 1) * step]
+                chunks = None
+                if kind == "video":
+                    info = codecs.parse_mp4(raw)
+                    if info is not None and info.get("frame_count"):
+                        chunks = codecs.sample_video_frames(
+                            raw, info, max_frames=info["frame_count"]
+                        )
+                if chunks is None:
+                    step = max(1, every_n_bytes)
+                    n_frames = _fake_frame_count(raw, kind)
+                    chunks = [raw[fi * step : (fi + 1) * step] for fi in range(n_frames)]
+                for fi, chunk in enumerate(chunks):
                     ids.append(mid)
                     idxs.append(fi)
                     feats.append(_fake_decode_features(chunk, kind))
@@ -161,10 +192,12 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 def generate_media(spark, n: int, seed: int = 42, real_fraction: float = 0.5) -> DataFrame:
     """Deterministic synthetic media table for tests: ``real_fraction`` of
-    image/audio rows carry REAL payloads (valid PNG / PCM-16 WAV built by
-    the codecs module's encoders) so the real decode tier is exercised;
-    the rest are opaque random bytes that exercise the stub tier."""
+    rows carry REAL payloads (valid PNG / PCM-16 WAV / ISO-BMFF MP4 built
+    by the codecs module's encoders) so the real decode tiers are
+    exercised; the rest are opaque random bytes that exercise the stub
+    tier."""
     from neural_locality_sensitive_hashing_spark.functions.codecs import (
+        encode_mp4,
         encode_png,
         encode_wav,
     )
@@ -174,13 +207,19 @@ def generate_media(spark, n: int, seed: int = 42, real_fraction: float = 0.5) ->
     rows = []
     for i in range(n):
         kind = kinds[int(rng.integers(0, 3))]
-        if kind != "video" and rng.random() < real_fraction:
+        if rng.random() < real_fraction:
             if kind == "image":
                 h, w, ch = int(rng.integers(4, 24)), int(rng.integers(4, 24)), 3
                 payload = encode_png(rng.integers(0, 256, (h, w, ch), dtype=np.uint8))
-            else:
+            elif kind == "audio":
                 samples = rng.standard_normal((int(rng.integers(64, 2048)), 1)) * 0.2
                 payload = encode_wav(samples, rate=8000)
+            else:
+                frames = [
+                    rng.bytes(int(rng.integers(200, 2000)))
+                    for _ in range(int(rng.integers(2, 16)))
+                ]
+                payload = encode_mp4(frames, 320, 240, fps=10)
         else:
             payload = rng.bytes(int(rng.integers(64, 16384)))
         meta = json.dumps(

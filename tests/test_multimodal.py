@@ -65,7 +65,8 @@ def test_decoder_tiers_observable(spark):
     }
     assert ("image", "real-png") in tags
     assert ("audio", "real-wav") in tags
-    assert ("video", "stub") in tags
+    assert ("video", "real-mp4-container") in tags  # ISO-BMFF box walk
+    assert ("video", "stub") in tags  # opaque random-byte videos
     # opaque random bytes fall back to the stub for image/audio too
     assert ("image", "stub") in tags and ("audio", "stub") in tags
     try:
@@ -83,9 +84,37 @@ def test_video_frame_sampling_stub(spark):
     media = generate_media(spark, 80)
     feats = decode_media_features(media).persist()
     vids = feats.where(F.col("kind") == "video").collect()
-    assert all(v.frame_count == 1 + v.n_bytes // 4096 for v in vids)
+    for v in vids:
+        if v.decoder == "real-mp4-container":
+            # the container's OWN stsz count (generator writes 2..15 frames)
+            assert 2 <= v.frame_count <= 15
+        else:
+            assert v.frame_count == 1 + v.n_bytes // 4096
+    assert {v.decoder for v in vids} == {"real-mp4-container", "stub"}
     others = feats.where(F.col("kind") != "video").collect()
     assert all(o.frame_count == 1 for o in others)
+
+
+def test_mp4_container_roundtrip():
+    """encode_mp4 -> parse_mp4 -> sample_video_frames: real box walk, true
+    frame count, exact demuxed frame bytes."""
+    from neural_locality_sensitive_hashing_spark.functions import codecs
+
+    frames = [bytes([i]) * (100 + 7 * i) for i in range(12)]
+    mp4 = codecs.encode_mp4(frames, 320, 240, fps=10)
+    info = codecs.parse_mp4(mp4)
+    assert info["width"] == 320 and info["height"] == 240
+    assert info["codec"] == "raw " and info["frame_count"] == 12
+    assert info["duration_sec"] == 1.2
+    assert info["frame_sizes"] == [len(f) for f in frames]
+    # sampling returns the exact frame bytes at evenly-spaced indices
+    got = codecs.sample_video_frames(mp4, info, max_frames=4)
+    assert [frames.index(g) for g in got] == [0, 3, 7, 11]
+    # full demux: every frame, byte-identical
+    assert codecs.sample_video_frames(mp4, info, max_frames=12) == frames
+    # non-MP4 payloads are None, never a crash
+    assert codecs.parse_mp4(b"") is None
+    assert codecs.parse_mp4(b"random junk bytes here") is None
 
 
 def test_metadata_prunes_payload(spark, tmp_path):
