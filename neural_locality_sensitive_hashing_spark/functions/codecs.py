@@ -298,13 +298,22 @@ def parse_mp4(payload: bytes) -> dict | None:
                 info["codec"] = payload[b0 + 12 : b0 + 16].decode("ascii", "replace")
             elif btype == b"stsz" and b1 - b0 >= 12:
                 uniform, count = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
-                info["frame_count"] = count
+                # bound the declared count by what the payload can hold:
+                # frames live in this same buffer, so count x size (or the
+                # 4-byte size entries) can never exceed it — rejects a
+                # crafted count=0xFFFFFFFF that would materialize a
+                # multi-GB list from a 60-byte payload
                 if uniform:
+                    if count == 0 or uniform * count > len(payload):
+                        continue
                     info["frame_sizes"] = [uniform] * count
                 else:
+                    if b0 + 12 + 4 * count > b1:
+                        continue
                     info["frame_sizes"] = list(
                         struct.unpack(f">{count}I", payload[b0 + 12 : b0 + 12 + 4 * count])
                     )
+                info["frame_count"] = count
             elif btype == b"stco" and b1 - b0 >= 8:
                 (n,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
                 info["chunk_offsets"] = list(
@@ -321,7 +330,9 @@ def parse_mp4(payload: bytes) -> dict | None:
                 info["mdat_offset"], info["mdat_end"] = b0, b1
     except struct.error:
         return None
-    return info if "frame_count" in info else info
+    # honor the "or None" contract: an ftyp with no usable sample table
+    # is not a parsed video (callers may truthiness-test the result)
+    return info if "frame_count" in info else None
 
 
 def sample_video_frames(

@@ -162,7 +162,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
                         chunks = codecs.sample_video_frames(
                             raw, info, max_frames=info["frame_count"]
                         )
-                if chunks is None:
+                if not chunks:  # None OR [] (truncated mdat) -> stride fallback
                     step = max(1, every_n_bytes)
                     n_frames = _fake_frame_count(raw, kind)
                     chunks = [raw[fi * step : (fi + 1) * step] for fi in range(n_frames)]

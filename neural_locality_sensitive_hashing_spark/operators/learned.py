@@ -46,6 +46,12 @@ def fit_partitioner_on_sample(
     layouts). The fraction is derived from a count() of the non-null
     vector column — a real (cheap, single-column) scan, not a
     metadata-only lookup, since the null filter must inspect values."""
+    x = _sample_matrix(df, vec_col, sample_rows, seed)
+    return train_partitioner(x, n_bits=n_bits, seed=seed, **train_kwargs)
+
+
+def _sample_matrix(df: DataFrame, vec_col: str, sample_rows: int, seed: int) -> np.ndarray:
+    """The shared sampling scan (see fit_partitioner_on_sample docstring)."""
     vecs = df.select(vec_col).where(F.col(vec_col).isNotNull())
     n = vecs.count()
     if n > sample_rows:
@@ -53,8 +59,7 @@ def fit_partitioner_on_sample(
         frac = min(1.0, 2.0 * sample_rows / n)
         vecs = vecs.sample(fraction=frac, seed=seed)
     sample = vecs.limit(sample_rows).collect()
-    x = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    return train_partitioner(x, n_bits=n_bits, seed=seed, **train_kwargs)
+    return np.array([list(r[0]) for r in sample], dtype=np.float64)
 
 
 def fit_multiband_on_sample(
@@ -69,13 +74,7 @@ def fit_multiband_on_sample(
     """One sampling scan, B independent fits (seeds seed..seed+B-1) — see
     ``train_multiband_partitioner`` for why the union of bands dominates a
     single learned code on diffuse corpora."""
-    vecs = df.select(vec_col).where(F.col(vec_col).isNotNull())
-    n = vecs.count()
-    if n > sample_rows:
-        frac = min(1.0, 2.0 * sample_rows / n)
-        vecs = vecs.sample(fraction=frac, seed=seed)
-    sample = vecs.limit(sample_rows).collect()
-    x = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    x = _sample_matrix(df, vec_col, sample_rows, seed)
     return train_multiband_partitioner(
         x, n_bands=n_bands, n_bits=n_bits, seed=seed, **train_kwargs
     )

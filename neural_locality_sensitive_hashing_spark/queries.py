@@ -1151,7 +1151,14 @@ WHERE t.i <= len(v)
 
 def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 (reference nlsh/data.py:29-33): per-dimension z-score with
-    corpus moments — (x - mean_dim) / std_dim, sample stddev."""
+    corpus moments — (x - mean_dim) / std_dim, sample stddev.
+
+    Known residual: mean/stddev over doubles are summation-order-
+    dependent in the last ulp on both engines; a pair of ulps landing
+    exactly on a round(...,6) half-boundary would flip one digit
+    (~1e-5/round odds across 32k values — tolerated rather than
+    rewriting Welford as exact decimal identically on two engines,
+    which carries its own mismatch risk)."""
     emb = load(spark, sf_dir, "embeddings")
     vals = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim_idx", "raw")
@@ -1180,16 +1187,26 @@ FROM vals
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-row double avg -> decimal-sum / count: summation-order-proof
+    # under the bit-exact oracle hash (same rationale as user_sessions)
     emb = load(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim_idx", "val"))
         .groupBy("label", "dim_idx")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid")
+        )
     )
 
 
 SQL_LABEL_CENTROIDS = """
-SELECT label, t.i - 1 AS dim_idx, round(avg(embedding[t.i]::DOUBLE), 6) AS centroid
+SELECT label, t.i - 1 AS dim_idx,
+       round(CAST(sum(CAST(embedding[t.i] AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+         AS centroid
 FROM embeddings CROSS JOIN (SELECT generate_series AS i FROM generate_series(1, 64)) t
 WHERE t.i <= len(embedding)
 GROUP BY label, dim_idx

@@ -77,15 +77,19 @@ def compact_parquet_store(
     per batch per partition, and at ~10^5 batches the FILE COUNT — listing,
     footers, task scheduling — becomes the scan bound, not the bytes.
 
-    Rewrites into a sibling temp dir, then swaps directories, so a crash
-    mid-rewrite leaves either the old or the new store intact (call it
-    between triggers — foreachBatch is serialized, so batch K+1 never races
-    the swap).  ``partition_col`` keeps the hash-pruning layout unchanged:
-    a partition value maps to exactly one shuffle task, so `repartition(col)
-    → partitionBy(col)` yields exactly one file per directory.  On a real
-    cluster set ``max_records_per_file`` so a hot partition still splits
-    into executor-memory-sized files.
+    Rewrites into a sibling temp dir, then swaps directories. A crash
+    can land in the window between the two renames (store missing, data
+    intact under ``<path>.compact.old``); ``recover_store`` — called here
+    and by every store read — completes the swap, so the data is never
+    stranded. Call between triggers — foreachBatch is serialized, so
+    batch K+1 never races the swap.  ``partition_col`` keeps the
+    hash-pruning layout unchanged: a partition value maps to exactly one
+    shuffle task, so `repartition(col) → partitionBy(col)` yields exactly
+    one file per directory.  On a real cluster set
+    ``max_records_per_file`` so a hot partition still splits into
+    executor-memory-sized files.
     """
+    recover_store(path)
     if not os.path.exists(path):
         return
     df = spark.read.parquet(path)
@@ -104,6 +108,16 @@ def compact_parquet_store(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def recover_store(path: str) -> None:
+    """Complete an interrupted compaction swap: if the store path is
+    missing but ``<path>.compact.old`` survived (crash between the two
+    renames), restore it — the old data is valid, only the swap was
+    lost. The next compaction retries the rewrite."""
+    old = path + ".compact.old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
 
 
 class IncrementalDeduper:
@@ -136,6 +150,7 @@ class IncrementalDeduper:
         compact_parquet_store(self.spark, self.pair_store, None)
 
     def _read_store(self, path: str) -> DataFrame | None:
+        recover_store(path)  # heal an interrupted compaction swap
         if not os.path.exists(path):
             return None
         return self.spark.read.parquet(path)

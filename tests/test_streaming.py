@@ -196,3 +196,29 @@ def test_store_compaction_bounds_files_and_preserves_output(spark, pages_1k, tmp
     streamed = {(r.a, r.b) for r in dedup.dup_pairs().collect()}
     batch = {(r.a, r.b) for r in _mdp(pages, CFG).collect()}
     assert streamed == batch
+
+
+def test_compaction_crash_window_recovers(spark, pages_1k, tmp_path):
+    """A kill between the two compaction renames leaves the store under
+    <path>.compact.old; recover_store (invoked by every store read and by
+    the next compaction) restores it — no silent empty-store restart."""
+    from neural_locality_sensitive_hashing_spark.streaming.incremental import (
+        IncrementalDeduper,
+    )
+
+    pages_path, _ = pages_1k
+    pages = spark.read.parquet(pages_path)
+    dedup = IncrementalDeduper(spark, CFG, str(tmp_path / "state"))
+    dedup.process_batch(pages.where("doc_id % 4 = 0"), 0)
+
+    n_sigs = spark.read.parquet(dedup.sig_store).count()
+    assert n_sigs > 0
+    # simulate the crash window: store renamed away, swap never completed
+    os.rename(dedup.sig_store, dedup.sig_store + ".compact.old")
+    got = dedup.gather_old_sets(spark.createDataFrame([(0,), (4,)], "doc_id long"))
+    assert got is not None, "store not recovered from .compact.old"
+    assert spark.read.parquet(dedup.sig_store).count() == n_sigs
+    # and compaction itself also heals before rewriting
+    os.rename(dedup.band_store, dedup.band_store + ".compact.old")
+    dedup.compact_stores()
+    assert spark.read.parquet(dedup.band_store).count() > 0

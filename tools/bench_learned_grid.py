@@ -66,6 +66,7 @@ def main() -> None:
         learned_ann,
     )
     from neural_locality_sensitive_hashing_spark.operators.metrics import (
+        bucket_join_candidate_count,
         mean_recall_at_k,
     )
 
@@ -103,23 +104,10 @@ def main() -> None:
                 .persist()
             )
             rec = mean_recall_at_k(ann, exact, k=K)
-            q_udf = make_learned_code_udf(weights, n_probes=n_probes)
-            c_udf = make_learned_code_udf(weights, n_probes=1)
-            n_cand = (
-                queries.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.explode(q_udf("embedding")).alias("bucket"),
-                )
-                .join(
-                    emb.select(
-                        F.col("vec_id").alias("neighbor_id"),
-                        F.explode(c_udf("embedding")).alias("bucket"),
-                    ),
-                    "bucket",
-                )
-                .where(F.col("query_id") != F.col("neighbor_id"))
-                .dropDuplicates(["query_id", "neighbor_id"])
-                .count()
+            n_cand = bucket_join_candidate_count(
+                queries, emb,
+                make_learned_code_udf(weights, n_probes=n_probes),
+                make_learned_code_udf(weights, n_probes=1),
             )
             ann.unpersist()
             mean_c = n_cand / N_QUERIES
@@ -157,23 +145,10 @@ def main() -> None:
                 .persist()
             )
             rec = mean_recall_at_k(ann, exact, k=K)
-            q_udf = make_multiband_code_udf(wl, n_probes=n_probes)
-            c_udf = make_multiband_code_udf(wl, n_probes=1)
-            n_cand = (
-                queries.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.explode(q_udf("embedding")).alias("bucket"),
-                )
-                .join(
-                    emb.select(
-                        F.col("vec_id").alias("neighbor_id"),
-                        F.explode(c_udf("embedding")).alias("bucket"),
-                    ),
-                    "bucket",
-                )
-                .where(F.col("query_id") != F.col("neighbor_id"))
-                .dropDuplicates(["query_id", "neighbor_id"])
-                .count()
+            n_cand = bucket_join_candidate_count(
+                queries, emb,
+                make_multiband_code_udf(wl, n_probes=n_probes),
+                make_multiband_code_udf(wl, n_probes=1),
             )
             ann.unpersist()
             mean_c = n_cand / N_QUERIES

@@ -62,6 +62,7 @@ def sweep_corpus(spark, emb, corpus_label: str) -> list[str]:
         make_learned_code_udf,
     )
     from neural_locality_sensitive_hashing_spark.operators.metrics import (
+        bucket_join_candidate_count,
         mean_recall_at_k,
     )
 
@@ -116,21 +117,10 @@ def sweep_corpus(spark, emb, corpus_label: str) -> list[str]:
             "query_id", "neighbor_id"
         ).persist()
         rec = mean_recall_at_k(ann, exact, k=K)
-        c_udf = make_learned_code_udf(weights, n_probes=1)
-        q_udf = make_learned_code_udf(weights, n_probes=n_probes)
-        c = emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.explode(c_udf("embedding")).alias("bucket"),
-        )
-        q = queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(q_udf("embedding")).alias("bucket"),
-        )
-        n_cand = (
-            q.join(c, "bucket")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"])
-            .count()
+        n_cand = bucket_join_candidate_count(
+            queries, emb,
+            make_learned_code_udf(weights, n_probes=n_probes),
+            make_learned_code_udf(weights, n_probes=1),
         )
         wall = time.time() - t0
         mean_c = n_cand / N_QUERIES
@@ -170,23 +160,10 @@ def sweep_corpus(spark, emb, corpus_label: str) -> list[str]:
             .persist()
         )
         rec = mean_recall_at_k(ann, exact, k=K)
-        mb_q = make_multiband_code_udf(wl, n_probes=n_probes)
-        mb_c = make_multiband_code_udf(wl, n_probes=1)
-        n_cand = (
-            queries.select(
-                F.col("vec_id").alias("query_id"),
-                F.explode(mb_q("embedding")).alias("bucket"),
-            )
-            .join(
-                emb.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.explode(mb_c("embedding")).alias("bucket"),
-                ),
-                "bucket",
-            )
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"])
-            .count()
+        n_cand = bucket_join_candidate_count(
+            queries, emb,
+            make_multiband_code_udf(wl, n_probes=n_probes),
+            make_multiband_code_udf(wl, n_probes=1),
         )
         wall = time.time() - t0
         ann.unpersist()
