@@ -56,6 +56,9 @@ HEADLINE = [
     "user_sessions",
     "unique_documents",
     "lang_token_quartiles",
+    "doc_sample_hash",
+    "lang_stratified_sample",
+    "distinct_texts_kmv",
 ]
 
 WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))

@@ -1328,6 +1328,105 @@ FROM documents
 """
 
 
+# --- deterministic sampling & sketches (training-data pipeline ops) ----------
+
+HASH60_MAX = 16**15  # 2^60: the first 15 md5 hex chars as a uniform integer
+SAMPLE_FRACTION = 0.1
+STRATA_QUOTA = 5
+KMV_K = 64
+
+
+def _hash60(col):
+    """60-bit uniform from md5: reproducible across engines, runs, AND
+    partitionings — unlike rand(seed), whose draw depends on row-to-
+    partition assignment. The basis for every deterministic sampling op."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def q_doc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash Bernoulli sample (R2/R5, SURVEY §2.9, as
+    an ENGINE op rather than trainer-side): keep a doc iff its md5-uniform
+    < p. Reproducible everywhere, and duplicates sample identically (the
+    hash is over content), so a sample drawn before dedup stays consistent
+    with one drawn after — the property training-data pipelines need."""
+    docs = load(spark, sf_dir, "documents")
+    thr = int(SAMPLE_FRACTION * HASH60_MAX)
+    return docs.select("doc_id").where(_hash60(F.col("text")) < thr)
+
+
+SQL_DOC_SAMPLE_HASH = f"""
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) < {int(SAMPLE_FRACTION * HASH60_MAX)}
+"""
+
+
+def q_lang_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified quota sample: the first STRATA_QUOTA docs
+    per language in md5 order — quota/mixing sampling (data-mixing
+    pipelines balance strata this way) with full reproducibility; md5
+    order is an unbiased shuffle of each stratum."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= STRATA_QUOTA)
+    )
+
+
+SQL_LANG_STRATIFIED_SAMPLE = f"""
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= {STRATA_QUOTA}
+"""
+
+
+def q_distinct_texts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, value-checked: the
+    estimate (K-1) * MAX / kth_smallest_hash is a deterministic function
+    of the corpus (md5-based), so unlike HLL-sketch registers it hashes
+    identically on both engines — an ORACLE-CHECKABLE approximate
+    distinct. One row: (k, kth_min_hash, kmv_estimate, exact_distinct);
+    at corpus scale only the K minima cross the wire (a groupBy-free
+    TreeAggregate-sized exchange), while exact_distinct is the full
+    distinct shuffle the sketch avoids."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(_hash60(F.col("text")).alias("u")).distinct()
+    topk = (
+        h.orderBy("u")
+        .limit(KMV_K)
+        .agg(F.max("u").alias("kth_min_hash"), F.count("*").alias("k"))
+    )
+    exact = docs.agg(F.countDistinct("text").alias("exact_distinct"))
+    return topk.crossJoin(exact).select(
+        "k",
+        "kth_min_hash",
+        F.round((F.col("k") - 1) * F.lit(float(HASH60_MAX)) / F.col("kth_min_hash"))
+        .cast("bigint")
+        .alias("kmv_estimate"),
+        "exact_distinct",
+    )
+
+
+SQL_DISTINCT_TEXTS_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+  FROM documents
+),
+k AS (
+  SELECT max(u) AS kth_min_hash, count(*) AS k
+  FROM (SELECT u FROM h ORDER BY u LIMIT {KMV_K})
+),
+e AS (SELECT count(DISTINCT text) AS exact_distinct FROM documents)
+SELECT k.k AS k, k.kth_min_hash,
+       CAST(round((k.k - 1) * {float(HASH60_MAX)!r} / k.kth_min_hash) AS BIGINT)
+         AS kmv_estimate,
+       e.exact_distinct
+FROM k, e
+"""
+
+
 # --- relational parity (TPC-H-ish) -------------------------------------------
 
 
@@ -1604,6 +1703,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_documents": q_unique_documents,
     "user_sessions": q_user_sessions,
     "lang_token_quartiles": q_lang_token_quartiles,
+    "doc_sample_hash": q_doc_sample_hash,
+    "lang_stratified_sample": q_lang_stratified_sample,
+    "distinct_texts_kmv": q_distinct_texts_kmv,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1642,6 +1744,9 @@ ORACLES: dict[str, str] = {
     "unique_documents": SQL_UNIQUE_DOCUMENTS,
     "user_sessions": SQL_USER_SESSIONS,
     "lang_token_quartiles": SQL_LANG_TOKEN_QUARTILES,
+    "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
+    "lang_stratified_sample": SQL_LANG_STRATIFIED_SAMPLE,
+    "distinct_texts_kmv": SQL_DISTINCT_TEXTS_KMV,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
