@@ -59,6 +59,8 @@ HEADLINE = [
     "doc_sample_hash",
     "lang_stratified_sample",
     "distinct_texts_kmv",
+    "doc_repetition",
+    "packed_sequences",
 ]
 
 WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))

@@ -1427,6 +1427,88 @@ FROM k, e
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): fraction of
+    k-gram occurrences that are repeats, 1 - distinct/total over the
+    WITH-multiplicity shingle list. Boilerplate and looped generations
+    score high; pure per-row native array ops (no shuffle at all)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = T.shingles(T.tokens(F.col("text")), CFG.shingle_k)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return docs.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct"),
+        F.round(F.lit(1.0) - nd.cast("double") / n, 6).alias("repetition"),
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {CFG.shingle_k}
+              THEN [array_to_string(t[i:i+{CFG.shingle_k - 1}], ' ')
+                    for i in range(1, len(t) - {CFG.shingle_k - 2})]
+              ELSE [array_to_string(t, ' ')]
+         END AS s
+  FROM toks
+)
+SELECT doc_id, len(s) AS n_shingles, len(list_distinct(s)) AS n_distinct,
+       round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 6) AS repetition
+FROM sh
+"""
+
+
+PACK_BUDGET_TOKENS = 2048
+PACK_SHARDS = 16
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign docs to ~PACK_BUDGET_TOKENS bins
+    by running token total — the greedy concat-and-split packing LLM data
+    loaders apply, as a window cumsum: bin = floor(cum_tokens_before /
+    budget). Packing is per SHARD (deterministic hash of the content), so
+    the window never spans more than corpus/SHARDS rows — at 100 TB the
+    shard count scales with the cluster and no global sort exists; order
+    within a shard is md5 (a reproducible shuffle, so bins mix sources
+    instead of concatenating one crawl run)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.pmod(_hash60(F.col("text")), F.lit(PACK_SHARDS)).alias("shard"),
+        F.md5("text").alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / F.lit(PACK_BUDGET_TOKENS)).cast("bigint").alias("bin_id"),
+    )
+
+
+SQL_PACKED_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tokens,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % {PACK_SHARDS} AS shard,
+         md5(text) AS h
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) * 1.0 / {PACK_BUDGET_TOKENS}) AS BIGINT) AS bin_id
+FROM d
+"""
+
+
 # --- relational parity (TPC-H-ish) -------------------------------------------
 
 
@@ -1706,6 +1788,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample_hash": q_doc_sample_hash,
     "lang_stratified_sample": q_lang_stratified_sample,
     "distinct_texts_kmv": q_distinct_texts_kmv,
+    "doc_repetition": q_doc_repetition,
+    "packed_sequences": q_packed_sequences,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1747,6 +1831,8 @@ ORACLES: dict[str, str] = {
     "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
     "lang_stratified_sample": SQL_LANG_STRATIFIED_SAMPLE,
     "distinct_texts_kmv": SQL_DISTINCT_TEXTS_KMV,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "packed_sequences": SQL_PACKED_SEQUENCES,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
