@@ -31,6 +31,9 @@ AUDITED = [
     "user_sessions",
     "unique_documents",
     "long_repeat_pairs",
+    "doc_sample_hash",
+    "doc_repetition",
+    "packed_sequences",
 ]
 
 
