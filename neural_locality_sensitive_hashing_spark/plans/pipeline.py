@@ -114,7 +114,11 @@ class DedupPipeline:
 
         def compute_signatures() -> DataFrame:
             sigs = signatures_fused(pages, cfg)
-            sigs = sigs.withColumn("simhash", simhash_udf(F.col("sh")))
+            if cfg.shingle_hash_bytes == 8:
+                # the SimHash contract is defined over 64-bit shingle
+                # hashes; with the 4-byte scale gather the column is
+                # meaningless (and the kernel would reject the buffer)
+                sigs = sigs.withColumn("simhash", simhash_udf(F.col("sh")))
             if cfg.verify_screen:
                 # the screen's uint32 estimator prefix, derived from the
                 # full signature so the stage stays one Arrow pass; lands

@@ -110,3 +110,20 @@ def test_screened_pipeline_runs_and_resumes_bit_identical(spark, pages_1k, tmp_p
     }
     assert {(a, b) for a, b, _ in pairs1} == pairs_e
     assert _cluster_map(clusters_e) == m1
+
+
+def test_pipeline_with_4byte_shingles(spark, pages_1k, tmp_path_factory):
+    """Regression: the pipeline's signatures stage must not feed 4-byte
+    shingle hashes to the 64-bit SimHash kernel (crashed with 'buffer size
+    must be a multiple of element size'); with shingle_hash_bytes=4 the
+    simhash column is skipped and clusters match the 8-byte run."""
+    pages_path, _ = pages_1k
+    pages = spark.read.parquet(pages_path)
+    ckpt = str(tmp_path_factory.mktemp("ckpt4"))
+    cfg4 = DedupConfig(shingle_hash_bytes=4)
+    clusters4, _ = DedupPipeline(spark, cfg4, ckpt, input_token="pages_1k").run(pages)
+    m4 = _cluster_map(clusters4)
+    assert "simhash" not in clusters4.columns
+    ckpt8 = str(tmp_path_factory.mktemp("ckpt8"))
+    clusters8, _ = DedupPipeline(spark, CFG, ckpt8, input_token="pages_1k").run(pages)
+    assert m4 == _cluster_map(clusters8)

@@ -59,6 +59,15 @@ def main() -> None:
         help="exact Jaccard for every candidate pair (the default)",
     )
     ap.add_argument(
+        "--checkpoint-dir", default=None,
+        help="run through the RESUMABLE DedupPipeline instead of the "
+        "straight-line plan: each stage (signatures, cand_pairs, "
+        "dup_pairs, clusters) lands in a fingerprinted snapshot table; "
+        "re-submitting the identical job resumes at the first stage whose "
+        "fingerprint misses (kill it mid-run and re-run to see). The "
+        "report's stages carry cached/rows per stage",
+    )
+    ap.add_argument(
         "--shingle-bytes", type=int, default=4, choices=(4, 8),
         help="shingle hash width in the verify gather. 4 (default) cuts the "
         "job's total shuffle 44%% (2.19 -> 1.22 GB at 250k docs, measured) "
@@ -118,6 +127,42 @@ def main() -> None:
         # regardless of the source file's row-group layout
         nparts = args.repartition or 2 * cores
         pages = pages.repartition(nparts, "doc_id")
+
+    if args.checkpoint_dir:
+        if args.with_simhash or args.with_longrepeat:
+            ap.error("--checkpoint-dir covers the exact-Jaccard pipeline; "
+                     "run the secondary verifiers in the straight-line mode")
+        from neural_locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
+
+        t_all = time.time()
+        pipe = DedupPipeline(
+            spark, cfg, args.checkpoint_dir,
+            input_token=f"{args.pages}@{n_docs}",
+        )
+        clusters, rep = pipe.run(pages)
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        wall = round(time.time() - t_all, 2)
+        report = {
+            "docs": n_docs,
+            "cores": cores,
+            "wall_sec": wall,
+            "docs_per_sec": round(n_docs / wall, 1),
+            "stages": {
+                s.stage: {"cached": s.cached, "rows": s.rows, "wall_sec": s.wall_sec}
+                for s in rep.stages
+            },
+            "candidate_pairs": -1,
+            "dup_pairs": -1,
+            "clusters": n_clusters,
+            "resumed_stages": sorted(rep.cached_stages()),
+        }
+        line = json.dumps(report)
+        print(line)
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                f.write(line + "\n")
+        spark.stop()
+        return
 
     stages: dict[str, float] = {}
     t_all = time.time()
