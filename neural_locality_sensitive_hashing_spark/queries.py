@@ -1330,33 +1330,27 @@ FROM documents
 
 # --- deterministic sampling & sketches (training-data pipeline ops) ----------
 
-HASH60_MAX = 16**15  # 2^60: the first 15 md5 hex chars as a uniform integer
+HASH60_MAX = 16**15  # 2^60: _h60's range — the shared cross-engine contract
 SAMPLE_FRACTION = 0.1
 STRATA_QUOTA = 5
 KMV_K = 64
 
 
-def _hash60(col):
-    """60-bit uniform from md5: reproducible across engines, runs, AND
-    partitionings — unlike rand(seed), whose draw depends on row-to-
-    partition assignment. The basis for every deterministic sampling op."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-
-
 def q_doc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash Bernoulli sample (R2/R5, SURVEY §2.9, as
     an ENGINE op rather than trainer-side): keep a doc iff its md5-uniform
-    < p. Reproducible everywhere, and duplicates sample identically (the
-    hash is over content), so a sample drawn before dedup stays consistent
-    with one drawn after — the property training-data pipelines need."""
+    (`_h60`) < p. Reproducible across engines, runs, AND partitionings —
+    unlike rand(seed), whose draw depends on row-to-partition assignment —
+    and duplicates sample identically (the hash is over content), so a
+    sample drawn before dedup stays consistent with one drawn after."""
     docs = load(spark, sf_dir, "documents")
     thr = int(SAMPLE_FRACTION * HASH60_MAX)
-    return docs.select("doc_id").where(_hash60(F.col("text")) < thr)
+    return docs.select("doc_id").where(_h60(F.col("text")) < thr)
 
 
 SQL_DOC_SAMPLE_HASH = f"""
 SELECT doc_id FROM documents
-WHERE CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) < {int(SAMPLE_FRACTION * HASH60_MAX)}
+WHERE {_sql_h60("text")} < {int(SAMPLE_FRACTION * HASH60_MAX)}
 """
 
 
@@ -1382,19 +1376,43 @@ SELECT lang, doc_id, rk FROM (
 """
 
 
+def _kmv_partial_minima(max_k: int):
+    """mapInPandas kernel: the K smallest DISTINCT hashes per PARTITION.
+    The global k-th smallest distinct value is always among some
+    partition's K smallest distinct values, so only K rows per partition
+    leave the scan — this is what makes the sketch's exchange K-sized
+    instead of the full distinct shuffle."""
+    import pandas as pd
+
+    def partial(batches):
+        best: set[int] = set()
+        for pdf in batches:
+            best.update(int(u) for u in pdf["u"])
+            if len(best) > 4 * max_k:
+                best = set(sorted(best)[:max_k])
+        yield pd.DataFrame({"u": sorted(best)[:max_k]})
+
+    return partial
+
+
 def q_distinct_texts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch, value-checked: the
     estimate (K-1) * MAX / kth_smallest_hash is a deterministic function
     of the corpus (md5-based), so unlike HLL-sketch registers it hashes
     identically on both engines — an ORACLE-CHECKABLE approximate
-    distinct. One row: (k, kth_min_hash, kmv_estimate, exact_distinct);
-    at corpus scale only the K minima cross the wire (a groupBy-free
-    TreeAggregate-sized exchange), while exact_distinct is the full
-    distinct shuffle the sketch avoids."""
+    distinct. One row: (k, kth_min_hash, kmv_estimate, exact_distinct).
+    The sketch branch ships only K rows per scan partition
+    (`_kmv_partial_minima`; the K-minima set is partition-layout-
+    invariant, so the result stays deterministic), while exact_distinct
+    is the full distinct shuffle the sketch exists to avoid."""
     docs = load(spark, sf_dir, "documents")
-    h = docs.select(_hash60(F.col("text")).alias("u")).distinct()
+    partial = (
+        docs.select(_h60(F.col("text")).alias("u"))
+        .mapInPandas(_kmv_partial_minima(KMV_K), "u bigint")
+    )
     topk = (
-        h.orderBy("u")
+        partial.distinct()
+        .orderBy("u")
         .limit(KMV_K)
         .agg(F.max("u").alias("kth_min_hash"), F.count("*").alias("k"))
     )
@@ -1411,7 +1429,7 @@ def q_distinct_texts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DISTINCT_TEXTS_KMV = f"""
 WITH h AS (
-  SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+  SELECT DISTINCT {_sql_h60("text")} AS u
   FROM documents
 ),
 k AS (
@@ -1478,7 +1496,7 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
-        F.pmod(_hash60(F.col("text")), F.lit(PACK_SHARDS)).alias("shard"),
+        F.pmod(_h60(F.col("text")), F.lit(PACK_SHARDS)).alias("shard"),
         F.md5("text").alias("h"),
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
@@ -1497,7 +1515,7 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PACKED_SEQUENCES = f"""
 WITH d AS (
   SELECT doc_id, len({_SQL_TOKS}) AS n_tokens,
-         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % {PACK_SHARDS} AS shard,
+         {_sql_h60("text")} % {PACK_SHARDS} AS shard,
          md5(text) AS h
   FROM documents
 )

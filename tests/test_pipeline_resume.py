@@ -121,9 +121,11 @@ def test_pipeline_with_4byte_shingles(spark, pages_1k, tmp_path_factory):
     pages = spark.read.parquet(pages_path)
     ckpt = str(tmp_path_factory.mktemp("ckpt4"))
     cfg4 = DedupConfig(shingle_hash_bytes=4)
-    clusters4, _ = DedupPipeline(spark, cfg4, ckpt, input_token="pages_1k").run(pages)
+    pipe4 = DedupPipeline(spark, cfg4, ckpt, input_token="pages_1k")
+    clusters4, _ = pipe4.run(pages)
     m4 = _cluster_map(clusters4)
-    assert "simhash" not in clusters4.columns
+    # the SIGNATURES snapshot (where the column would live) must skip it
+    assert "simhash" not in pipe4.catalog.read_snapshot("signatures").columns
     ckpt8 = str(tmp_path_factory.mktemp("ckpt8"))
     clusters8, _ = DedupPipeline(spark, CFG, ckpt8, input_token="pages_1k").run(pages)
     assert m4 == _cluster_map(clusters8)

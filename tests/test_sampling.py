@@ -4,9 +4,15 @@ proves Spark == DuckDB, not that the semantics are right)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"driver testdata {SF_DIR} not present"
+)
 
 
 @pytest.fixture(scope="module")
@@ -75,12 +81,14 @@ def test_packing_respects_budget_and_order(spark, qmod):
     for shard, rs in by_shard.items():
         rs.sort(key=lambda r: (order[r.doc_id], r.doc_id))
         cum = 0
+        prev_bin = 0
         for r in rs:
             assert r.bin_id == cum // budget, (shard, r.doc_id)
+            # monotone, never decreasing; a doc longer than the budget may
+            # legitimately SKIP bins, so contiguity is not asserted
+            assert r.bin_id >= prev_bin
+            prev_bin = r.bin_id
             cum += r.n_tokens
-        # bins are contiguous 0..max
-        bins = sorted({r.bin_id for r in rs})
-        assert bins == list(range(bins[-1] + 1))
 
 
 def test_repetition_bounds_and_boilerplate(spark, qmod):

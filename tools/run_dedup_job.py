@@ -11,8 +11,28 @@ per-stage wall times.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
+import os
 import time
+
+
+def _input_token(pages_path: str, n_docs: int) -> str:
+    """Content-derived resume token: path + row count alone would resume
+    stale snapshots if the input files were regenerated in place with the
+    same cardinality — fold in every data file's (name, size, mtime) so
+    any rewrite invalidates the checkpoint fingerprints."""
+    h = hashlib.sha256(f"{pages_path}@{n_docs}".encode())
+    if os.path.isdir(pages_path):
+        for root, _, files in sorted(os.walk(pages_path)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(f"{os.path.relpath(p, pages_path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(pages_path):
+        st = os.stat(pages_path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:24]
 
 
 def main() -> None:
@@ -78,6 +98,10 @@ def main() -> None:
     if args.with_simhash and args.shingle_bytes != 8:
         ap.error("--with-simhash requires --shingle-bytes 8 (the 64-bit "
                  "SimHash contract is defined over 64-bit shingle hashes)")
+    if args.checkpoint_dir and (args.with_simhash or args.with_longrepeat):
+        # validate BEFORE the JVM starts and the input is scanned
+        ap.error("--checkpoint-dir covers the exact-Jaccard pipeline; "
+                 "run the secondary verifiers in the straight-line mode")
 
     from pyspark.sql import SparkSession
 
@@ -129,15 +153,12 @@ def main() -> None:
         pages = pages.repartition(nparts, "doc_id")
 
     if args.checkpoint_dir:
-        if args.with_simhash or args.with_longrepeat:
-            ap.error("--checkpoint-dir covers the exact-Jaccard pipeline; "
-                     "run the secondary verifiers in the straight-line mode")
         from neural_locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
 
         t_all = time.time()
         pipe = DedupPipeline(
             spark, cfg, args.checkpoint_dir,
-            input_token=f"{args.pages}@{n_docs}",
+            input_token=_input_token(args.pages, n_docs),
         )
         clusters, rep = pipe.run(pages)
         n_clusters = clusters.select("cluster_id").distinct().count()
