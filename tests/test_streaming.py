@@ -222,3 +222,35 @@ def test_compaction_crash_window_recovers(spark, pages_1k, tmp_path):
     os.rename(dedup.band_store, dedup.band_store + ".compact.old")
     dedup.compact_stores()
     assert spark.read.parquet(dedup.band_store).count() > 0
+
+
+def test_compact_every_auto_trigger(spark, pages_1k, tmp_path):
+    """compact_every=2 compacts after batches 1 and 3 (0-indexed ids 1, 3):
+    after batch 3 every store partition dir holds exactly one data file."""
+    import glob
+
+    from neural_locality_sensitive_hashing_spark.streaming.incremental import (
+        IncrementalDeduper,
+    )
+
+    pages_path, _ = pages_1k
+    pages = spark.read.parquet(pages_path)
+    dedup = IncrementalDeduper(
+        spark, CFG, str(tmp_path / "state"), compact_every=2
+    )
+    for i in range(4):
+        dedup.process_batch(pages.where(f"doc_id % 4 = {i}"), i)
+
+    per_dir: dict[str, int] = {}
+    for f in glob.glob(f"{dedup.band_store}/**/*.parquet", recursive=True):
+        if os.path.basename(f).startswith("part-"):
+            per_dir[os.path.dirname(f)] = per_dir.get(os.path.dirname(f), 0) + 1
+    assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+
+    from neural_locality_sensitive_hashing_spark.operators.dedup import (
+        minhash_dup_pairs as _mdp,
+    )
+
+    streamed = {(r.a, r.b) for r in dedup.dup_pairs().collect()}
+    batch = {(r.a, r.b) for r in _mdp(pages, CFG).collect()}
+    assert streamed == batch
