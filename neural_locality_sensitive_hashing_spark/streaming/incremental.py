@@ -130,13 +130,17 @@ class IncrementalDeduper:
         state_dir: str,
         band_store_parts: int = 64,
         sig_store_parts: int = 16,
+        pair_store_parts: int = 16,
         compact_every: int | None = None,
+        compact_max_records_per_file: int | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.band_store_parts = band_store_parts
         self.sig_store_parts = sig_store_parts
+        self.pair_store_parts = pair_store_parts
         self.compact_every = compact_every
+        self.compact_max_records_per_file = compact_max_records_per_file
         self.sig_store = os.path.join(state_dir, "signatures")
         self.band_store = os.path.join(state_dir, "bands")
         self.pair_store = os.path.join(state_dir, "dup_pairs")
@@ -144,10 +148,20 @@ class IncrementalDeduper:
     def compact_stores(self) -> None:
         """Maintenance: collapse each store partition's per-batch small
         files into one, layout (and therefore directory pruning) unchanged.
-        Runs automatically every ``compact_every`` batches when set."""
-        compact_parquet_store(self.spark, self.band_store, "pfx")
-        compact_parquet_store(self.spark, self.sig_store, "id_pfx")
-        compact_parquet_store(self.spark, self.pair_store, None)
+        Runs automatically every ``compact_every`` batches when set.
+
+        All three stores — including dup_pairs, hash-partitioned on
+        ``pair_pfx = pmod(a, pair_store_parts)`` — compact PER PARTITION
+        (one shuffle task per partition value), never through a single
+        ``coalesce(1)`` task: at 10^9 accumulated pairs a whole-store
+        single-task rewrite is a serial bottleneck, while P parallel
+        per-directory rewrites are bounded by the hottest partition.
+        ``compact_max_records_per_file`` caps file size so a hot
+        partition still splits into executor-memory-sized files."""
+        mrpf = self.compact_max_records_per_file
+        compact_parquet_store(self.spark, self.band_store, "pfx", mrpf)
+        compact_parquet_store(self.spark, self.sig_store, "id_pfx", mrpf)
+        compact_parquet_store(self.spark, self.pair_store, "pair_pfx", mrpf)
 
     def _read_store(self, path: str) -> DataFrame | None:
         recover_store(path)  # heal an interrupted compaction swap
@@ -223,7 +237,12 @@ class IncrementalDeduper:
         (
             dups.select("a", "b", "jaccard")
             .withColumn("batch_id", F.lit(int(batch_id)))
+            .withColumn(
+                "pair_pfx", F.pmod(F.col("a"), F.lit(self.pair_store_parts))
+            )
+            .repartition("pair_pfx")
             .write.mode("append")
+            .partitionBy("pair_pfx")
             .parquet(self.pair_store)
         )
         (
@@ -252,14 +271,20 @@ class IncrementalDeduper:
             self.compact_stores()
 
     def dup_pairs(self) -> DataFrame:
-        return (
-            self.spark.read.parquet(self.pair_store)
-            .select("a", "b", "jaccard")
-            .dropDuplicates(["a", "b"])
-        )
+        # _read_store heals an interrupted compaction swap before reading —
+        # every store read must route through it, or a crash between the
+        # compaction renames leaves dup_pairs() failing on a missing path
+        # while the data sits intact under <path>.compact.old.
+        store = self._read_store(self.pair_store)
+        if store is None:
+            raise FileNotFoundError(self.pair_store)
+        return store.select("a", "b", "jaccard").dropDuplicates(["a", "b"])
 
     def dup_pairs_with_batch(self) -> DataFrame:
-        return self.spark.read.parquet(self.pair_store)
+        store = self._read_store(self.pair_store)
+        if store is None:
+            raise FileNotFoundError(self.pair_store)
+        return store.select("a", "b", "jaccard", "batch_id")
 
 
 def run_incremental(

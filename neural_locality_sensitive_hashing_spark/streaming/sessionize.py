@@ -39,7 +39,13 @@ SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, sum_value double"
 )
-STATE_SCHEMA = "start double, last double, n bigint, s double"
+# `s` is the running value sum in INTEGER MICRO-UNITS (value * 1e6 per
+# event, rounded once at ingestion): integer addition is associative and
+# commutative, so the emitted sum is bit-stable against arrival order
+# inside a micro-batch — matching the batch query's decimal(18,6) sum
+# contract, where float64 accumulation could flip the last ulp at the
+# round(4) boundary depending on shuffle order.
+STATE_SCHEMA = "start double, last double, n bigint, s bigint"
 _COLS = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
 
 
@@ -47,7 +53,8 @@ def _emit(rows: list[tuple]) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=_COLS)
     out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
     out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
-    out["sum_value"] = out["sum_value"].round(4)
+    # micro-units -> value, rounded to the contract's 4 decimals
+    out["sum_value"] = (out["sum_value"] / 1e6).round(4)
     return out
 
 
@@ -78,14 +85,14 @@ def make_sessionizer(gap_sec: int = 1800, event_time_timeout: bool = False):
         for ts, value in zip(rows["ts"], rows["value"]):
             t = ts.timestamp()
             if start is None:
-                start, last, n, s = t, t, 0, 0.0
+                start, last, n, s = t, t, 0, 0
             elif t - last > gap_sec:
                 closed.append((user_id, start, last, n, s))
-                start, last, n, s = t, t, 0, 0.0
+                start, last, n, s = t, t, 0, 0
             n += 1
-            s += float(value)
+            s += int(round(float(value) * 1e6))
             last = max(last, t)
-        state.update((float(start), float(last), int(n), float(s)))
+        state.update((float(start), float(last), int(n), int(s)))
         if event_time_timeout:
             # fire once the watermark passes the gap horizon; Spark rejects
             # timestamps at-or-before the current watermark, so clamp just

@@ -150,3 +150,82 @@ def test_watermark_flushes_idle_sessions(spark, tmp_path):
     )
     # only the sentinel's own open session may remain unflushed
     assert not any(uid == sentinel_uid for uid, *_ in got)
+
+
+def test_session_sums_bitstable_across_batch_splits(spark, tmp_path):
+    """sum_value accumulates in INTEGER MICRO-UNITS in state, so the emitted
+    sums are bit-identical no matter how arrivals are split into
+    micro-batches or ordered within a batch — the float64-accumulation bug
+    class (last-ulp drift by addition order at the round(4) boundary) that
+    was fixed in the batch user_sessions oracle. 6-decimal values stress
+    exactly the precision float64 partial sums would wobble at."""
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    t = 0.0
+    for i in range(400):
+        t += float(rng.choice([5.0, 40.0, 1500.0], p=[0.65, 0.3, 0.05]))
+        rows.append(
+            (i, base + pd.Timedelta(seconds=t), int(rng.integers(0, 8)),
+             round(float(rng.random() * 10), 6))
+        )
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+
+    def run(n_splits: int, shuffle_seed: int, name: str) -> dict[tuple, float]:
+        input_dir = str(tmp_path / f"in_{name}")
+        os.makedirs(input_dir)
+        cuts = [len(pdf) * k // n_splits for k in range(n_splits + 1)]
+        for bi in range(n_splits):
+            part = pdf[cuts[bi] : cuts[bi + 1]].sample(
+                frac=1.0, random_state=shuffle_seed + bi  # scramble in-batch order
+            )
+            spark.createDataFrame(part).coalesce(1).write.parquet(
+                f"{input_dir}/b{bi}.parquet"
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{input_dir}/*")
+        )
+        q = (
+            sessionize_stream(stream, gap_sec=GAP)
+            .writeStream.format("memory")
+            .queryName(f"sess_{name}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(),
+             r.n_events): r.sum_value
+            for r in spark.sql(f"SELECT * FROM sess_{name}").collect()
+        }
+
+    a = run(3, 100, "a")
+    b = run(7, 200, "b")
+    assert a.keys() == b.keys() and len(a) > 10
+    for k in a:
+        # bit-exact, not approx: integer state makes order irrelevant
+        assert repr(a[k]) == repr(b[k]), (k, a[k], b[k])
+    # and both match an exact integer-micro-unit reference
+    exact: dict[tuple, float] = {}
+    for uid, g in pdf.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        start = last = None
+        n, s = 0, 0
+        for r in g.itertuples():
+            tt = r.ts.timestamp()
+            if start is None:
+                start, last, n, s = tt, tt, 0, 0
+            elif tt - last > GAP:
+                exact[(uid, start, last, n)] = round(s / 1e6, 4)
+                start, last, n, s = tt, tt, 0, 0
+            n += 1
+            s += int(round(r.value * 1e6))
+            last = tt
+    for k, v in a.items():
+        if k in exact:  # closed sessions (open ones stay in state)
+            assert repr(v) == repr(exact[k]), (k, v, exact[k])

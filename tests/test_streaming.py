@@ -174,6 +174,12 @@ def test_store_compaction_bounds_files_and_preserves_output(spark, pages_1k, tmp
         per = files_per_dir(store)
         assert per and all(n == 1 for n in per.values()), per
     assert len(data_files(dedup.band_store)) < n_before
+    # the pair store is hash-partitioned (pair_pfx = pmod(a, P)) so the
+    # compaction rewrite is P parallel per-directory tasks, never a single
+    # coalesce(1) over the whole accumulated pair set
+    assert len(files_per_dir(dedup.pair_store)) >= 2, (
+        files_per_dir(dedup.pair_store)
+    )
 
     # outputs unchanged and pruning still sound after the rewrite
     after_pairs = sorted((r.a, r.b, r.jaccard) for r in dedup.dup_pairs().collect())
@@ -222,6 +228,11 @@ def test_compaction_crash_window_recovers(spark, pages_1k, tmp_path):
     os.rename(dedup.band_store, dedup.band_store + ".compact.old")
     dedup.compact_stores()
     assert spark.read.parquet(dedup.band_store).count() > 0
+    # dup_pairs() reads route through the same recovery (a crash between
+    # the pair-store renames must not strand the accumulated pairs)
+    n_pairs = dedup.dup_pairs().count()
+    os.rename(dedup.pair_store, dedup.pair_store + ".compact.old")
+    assert dedup.dup_pairs().count() == n_pairs
 
 
 def test_compact_every_auto_trigger(spark, pages_1k, tmp_path):
