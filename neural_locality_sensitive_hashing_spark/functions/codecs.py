@@ -316,9 +316,33 @@ def parse_mp4(payload: bytes) -> dict | None:
                 info["frame_count"] = count
             elif btype == b"stco" and b1 - b0 >= 8:
                 (n,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                # bound the declared entry count by the box end, like stsz:
+                # an over-declared count would otherwise read the following
+                # boxes' bytes as chunk offsets (silently wrong frame
+                # slices) or raise past the payload end, voiding the parse
+                if b0 + 8 + 4 * n > b1:
+                    continue
                 info["chunk_offsets"] = list(
                     struct.unpack(f">{n}I", payload[b0 + 8 : b0 + 8 + 4 * n])
                 )
+            elif btype == b"co64" and b1 - b0 >= 8:
+                (n,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                if b0 + 8 + 8 * n > b1:
+                    continue
+                info["chunk_offsets"] = list(
+                    struct.unpack(f">{n}Q", payload[b0 + 8 : b0 + 8 + 8 * n])
+                )
+            elif btype == b"stsc" and b1 - b0 >= 8:
+                (n,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                if b0 + 8 + 12 * n > b1:
+                    continue
+                # entries: (first_chunk 1-based, samples_per_chunk, sdi)
+                info["sample_to_chunk"] = [
+                    struct.unpack(
+                        ">III", payload[b0 + 8 + 12 * i : b0 + 20 + 12 * i]
+                    )
+                    for i in range(n)
+                ]
             elif btype == b"mdat":
                 info["mdat_offset"], info["mdat_end"] = b0, b1
 
@@ -339,17 +363,46 @@ def sample_video_frames(
     payload: bytes, info: dict, max_frames: int = 8
 ) -> list[bytes]:
     """Evenly-spaced frame SAMPLES as raw byte slices, located via the
-    container's own stsz sizes + first chunk offset (frames contiguous in
-    mdat — the layout our encoder and most faststart MP4s use). This is
-    the real frame-sampling half of the video pipeline; only the codec
-    decode of each frame's bytes remains stubbed."""
+    container's own sample tables. Single-chunk files (our encoder's
+    default, and faststart MP4s) walk stsz sizes from the one chunk
+    offset; multi-chunk files walk stsc/stco PER CHUNK — each chunk's
+    frames start at that chunk's own offset, so non-contiguous mdat
+    layouts slice correctly. A multi-chunk stco without a usable stsc
+    (or an stsc that does not cover every sample) returns [] so callers
+    take their stride fallback instead of silently slicing wrong bytes.
+    This is the real frame-sampling half of the video pipeline; only the
+    codec decode of each frame's bytes remains stubbed."""
     sizes = info.get("frame_sizes")
     if not sizes:
         return []
-    base = (info.get("chunk_offsets") or [info.get("mdat_offset", 0)])[0]
-    offsets = [base]
-    for s in sizes[:-1]:
-        offsets.append(offsets[-1] + s)
+    chunk_offsets = info.get("chunk_offsets")
+    if chunk_offsets and len(chunk_offsets) > 1:
+        stc = info.get("sample_to_chunk")
+        if not stc:
+            return []
+        offsets: list[int] = []
+        si = 0
+        for ci in range(len(chunk_offsets)):
+            spc = 0  # samples in this chunk: last stsc entry with first_chunk <= ci+1
+            for first, per, _sdi in stc:
+                if first <= ci + 1:
+                    spc = per
+                else:
+                    break
+            base = chunk_offsets[ci]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                offsets.append(base)
+                base += sizes[si]
+                si += 1
+        if si < len(sizes):
+            return []  # stsc/stco don't cover every sample: inconsistent container
+    else:
+        base = (chunk_offsets or [info.get("mdat_offset", 0)])[0]
+        offsets = [base]
+        for s in sizes[:-1]:
+            offsets.append(offsets[-1] + s)
     n = len(sizes)
     idx = sorted({int(i * (n - 1) / max(1, max_frames - 1)) for i in range(min(max_frames, n))})
     out = []
@@ -360,16 +413,40 @@ def sample_video_frames(
     return out
 
 
-def encode_mp4(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+def encode_mp4(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    frames_per_chunk: int | None = None,
+    chunk_gap: int = 0,
+) -> bytes:
     """Minimal structurally-valid ISO-BMFF writer (ftyp + moov with one
-    raw-fourcc video track + contiguous mdat) — the deterministic test /
-    datagen inverse of parse_mp4 / sample_video_frames."""
+    raw-fourcc video track + mdat) — the deterministic test / datagen
+    inverse of parse_mp4 / sample_video_frames.
+
+    Default layout is one chunk of contiguous frames. ``frames_per_chunk``
+    writes a MULTI-CHUNK stsc/stco layout; ``chunk_gap`` inserts padding
+    bytes between chunks inside mdat, producing the non-contiguous layout
+    that exercises sample_video_frames' per-chunk stsc walk (a
+    first-offset-only reader slices garbage on such files)."""
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I4s", 8 + len(body), btype) + body
 
     n = len(frames)
     timescale = fps
+    fpc = frames_per_chunk if frames_per_chunk else n
+    # chunk layout: list of per-chunk frame counts + relative chunk starts
+    chunk_counts = [min(fpc, n - i) for i in range(0, n, fpc)] or [0]
+    frame_iter = iter(frames)
+    chunks = [[next(frame_iter) for _ in range(c)] for c in chunk_counts]
+    rel_offsets = []
+    pos = 0
+    for ch in chunks:
+        rel_offsets.append(pos)
+        pos += sum(len(f) for f in ch) + chunk_gap
+    mdat_body = (b"\x00" * chunk_gap).join(b"".join(ch) for ch in chunks)
     mvhd = box(b"mvhd", b"\x00" + b"\x00" * 11 + struct.pack(">II", timescale, n) + b"\x00" * 80)
     tkhd = box(
         b"tkhd",
@@ -379,12 +456,25 @@ def encode_mp4(frames: list[bytes], width: int, height: int, fps: int = 10) -> b
     # sample entry: size(4) + fourcc(4) + reserved(6) + data_ref_index(2)
     stsd = box(b"stsd", struct.pack(">II", 0, 1) + struct.pack(">I4s", 16, b"raw ") + b"\x00" * 8)
     stts = box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
-    stsc = box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    # stsc run-length: one entry per change in samples-per-chunk
+    stsc_entries = []
+    for ci, c in enumerate(chunk_counts):
+        if not stsc_entries or stsc_entries[-1][1] != c:
+            stsc_entries.append((ci + 1, c))
+    stsc = box(
+        b"stsc",
+        struct.pack(">II", 0, len(stsc_entries))
+        + b"".join(struct.pack(">III", first, c, 1) for first, c in stsc_entries),
+    )
     stsz = box(b"stsz", struct.pack(">III", 0, 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames))
     # stco needs the absolute mdat body offset: compute sizes bottom-up
     # with a placeholder, then rewrite (single pass, fixed layout)
     def assemble(mdat_body_off: int) -> bytes:
-        stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", mdat_body_off))
+        stco = box(
+            b"stco",
+            struct.pack(">II", 0, len(rel_offsets))
+            + b"".join(struct.pack(">I", mdat_body_off + r) for r in rel_offsets),
+        )
         stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
         minf = box(b"minf", stbl)
         mdhd = box(b"mdhd", b"\x00" * 12 + struct.pack(">II", timescale, n) + b"\x00" * 4)
@@ -398,7 +488,7 @@ def encode_mp4(frames: list[bytes], width: int, height: int, fps: int = 10) -> b
     moov = assemble(0)
     mdat_body_off = len(ftyp) + len(moov) + 8
     moov = assemble(mdat_body_off)  # same length: placeholder only changed value
-    mdat = box(b"mdat", b"".join(frames))
+    mdat = box(b"mdat", mdat_body)
     return ftyp + moov + mdat
 
 

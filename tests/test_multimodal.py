@@ -117,6 +117,40 @@ def test_mp4_container_roundtrip():
     assert codecs.parse_mp4(b"random junk bytes here") is None
 
 
+def test_mp4_multichunk_demux_and_crafted_stco():
+    """Multi-chunk, non-contiguous mdat (inter-chunk padding): the stsc/stco
+    per-chunk walk recovers every frame byte-identically — a
+    first-offset-only reader would slice padding into frames 5+. Crafted
+    over-declared stco counts are rejected, not parsed past the box end."""
+    import struct
+
+    from neural_locality_sensitive_hashing_spark.functions import codecs
+
+    frames = [bytes([i]) * (50 + 13 * i) for i in range(11)]
+    mp4 = codecs.encode_mp4(
+        frames, 64, 64, fps=5, frames_per_chunk=4, chunk_gap=37
+    )
+    info = codecs.parse_mp4(mp4)
+    assert info["frame_count"] == 11
+    assert len(info["chunk_offsets"]) == 3  # 4 + 4 + 3 frames
+    assert info["sample_to_chunk"] == [(1, 4, 1), (3, 3, 1)]
+    assert codecs.sample_video_frames(mp4, info, max_frames=11) == frames
+    # multi-chunk WITHOUT stsc -> refuse (callers take the stride fallback)
+    no_stsc = dict(info)
+    no_stsc.pop("sample_to_chunk")
+    assert codecs.sample_video_frames(mp4, no_stsc, max_frames=11) == []
+    # crafted stco entry count exceeding its box: skipped, parse survives
+    # (single-chunk default layout -> exact stco box bytes are known)
+    single = codecs.encode_mp4(frames[:3], 64, 64)
+    good_stco = b"stco" + struct.pack(">II", 0, 1)
+    idx = single.index(good_stco)
+    bad = single[:idx] + b"stco" + struct.pack(">II", 0, 0xFFFF) + single[idx + 12 :]
+    parsed = codecs.parse_mp4(bad)
+    assert parsed is not None and "chunk_offsets" not in parsed
+    # frame sampling still works off mdat_offset
+    assert codecs.sample_video_frames(bad, parsed, max_frames=3) == frames[:3]
+
+
 def test_metadata_prunes_payload(spark, tmp_path):
     path = str(tmp_path / "media.parquet")
     generate_media(spark, 20).write.parquet(path)
