@@ -142,16 +142,22 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id FROM docu
 
 
 def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate pairs on md5(text).  The driver corpus has no exact
-    duplicates, which made this oracle vacuously green (0 rows vs 0 rows);
-    the query therefore unions a deterministic planted fixture — copies of
-    the five lowest doc_ids under offset ids — reproduced identically in
-    the oracle SQL, so the comparison checks real values (5 pairs)."""
+    """Exact-duplicate pairs on md5(text) over documents ∪
+    planted_documents.  The driver corpus has no exact duplicates, which
+    would make this oracle vacuously green (0 rows vs 0 rows); the planted
+    table (a DATA-LAYER parquet table derived deterministically from the
+    corpus — see planted.py; previous rounds unioned the same rows inside
+    the query body) supplies 5 real exact-duplicate pairs, and BOTH
+    engines read the same file, so the comparison checks real values and
+    the query answers its own name over tables only."""
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted
+
+    docs_planted, _ = ensure_planted(sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 5).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    fp = (
+        docs.unionByName(spark.read.parquet(docs_planted))
+        .select("doc_id", F.md5("text").alias("fp"))
     )
-    fp = docs.unionByName(planted).select("doc_id", F.md5("text").alias("fp"))
     return (
         fp.alias("l")
         .join(fp.alias("r"), "fp")
@@ -160,11 +166,16 @@ def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EXACT_DUP_PAIRS = """
+def _sql_exact_dup_pairs(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle over the same two tables (documents + the planted parquet)."""
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted
+
+    docs_planted, _ = ensure_planted(sf_dir)
+    return f"""
 WITH alld AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 5
+  SELECT doc_id, text FROM read_parquet('{docs_planted}')
 )
 SELECT l.doc_id AS a, r.doc_id AS b
 FROM alld l JOIN alld r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
@@ -1243,24 +1254,23 @@ def q_embedding_dup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 0.9+, bulk near-orthogonal) the same banding cuts collision mass
     ~50×.
 
-    The diffuse driver corpus has NO pairs at tau=0.8, which made this
-    oracle vacuously green (0 vs 0 rows); the query therefore unions a
-    deterministic planted fixture — the four lowest vec_ids copied under
-    offset ids with element 0 shifted by +0.05 (cosine ≈ 0.9988 to their
-    source) — reproduced float-for-float in the oracle SQL, so the
-    comparison verifies real cosine values through the full LSH + exact
-    verify path (4 pairs)."""
+    The diffuse driver corpus has NO pairs at tau=0.8, which would make
+    this oracle vacuously green (0 vs 0 rows); the planted_embeddings
+    DATA-LAYER table (planted.py: the four lowest vec_ids copied under
+    offset ids with element 0 shifted by +0.05, cosine ≈ 0.9988 to their
+    source — the same derivation previous rounds computed inline in both
+    engines) supplies 4 real near-dup pairs. Both engines read the same
+    parquet file, so the comparison verifies real cosine values through
+    the full LSH + exact verify path. Note (bench): the union reads
+    `embeddings` twice before the 94×8 banding, which is why this variant
+    benches ~1s over the unplanted query at sf0.1."""
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted
+
+    _, emb_planted = ensure_planted(sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    planted = emb.where(F.col("vec_id") < 4).select(
-        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
-        F.concat(
-            F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
-            F.slice("embedding", 2, ANN_DIM - 1),
-        ).alias("embedding"),
-        "label",
-    )
     return S.embedding_dup_pairs_lsh(
-        emb.unionByName(planted), EMB_DUP_TAU_HI, dim=ANN_DIM, seed=ANN_SEED,
+        emb.unionByName(spark.read.parquet(emb_planted)),
+        EMB_DUP_TAU_HI, dim=ANN_DIM, seed=ANN_SEED,
         max_bands=96,
     )
 
@@ -1285,14 +1295,16 @@ WHERE round(list_dot_product(l.v, r.v)
       >= {EMB_DUP_TAU}
 """
 
-SQL_EMBEDDING_DUP_PAIRS_HI = f"""
-WITH planted AS (
-  SELECT vec_id + 10000000 AS vec_id,
-         list_prepend(CAST(embedding[1] + 0.05 AS FLOAT), embedding[2:]) AS embedding
-  FROM embeddings WHERE vec_id < 4
-),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-      FROM (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT * FROM planted))
+def _sql_embedding_dup_pairs_hi(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle over embeddings ∪ the planted_embeddings parquet table."""
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted
+
+    _, emb_planted = ensure_planted(sf_dir)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id, embedding FROM read_parquet('{emb_planted}')))
 SELECT l.vec_id AS a, r.vec_id AS b,
        round(list_dot_product(l.v, r.v)
              / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
@@ -1381,16 +1393,19 @@ def _kmv_partial_minima(max_k: int):
     The global k-th smallest distinct value is always among some
     partition's K smallest distinct values, so only K rows per partition
     leave the scan — this is what makes the sketch's exchange K-sized
-    instead of the full distinct shuffle."""
+    instead of the full distinct shuffle. The running minima set is
+    maintained entirely in numpy (sorted-unique merge + truncate per
+    Arrow batch) — no per-row Python."""
+    import numpy as np
     import pandas as pd
 
     def partial(batches):
-        best: set[int] = set()
+        best = np.empty(0, dtype=np.int64)
         for pdf in batches:
-            best.update(int(u) for u in pdf["u"])
-            if len(best) > 4 * max_k:
-                best = set(sorted(best)[:max_k])
-        yield pd.DataFrame({"u": sorted(best)[:max_k]})
+            best = np.unique(
+                np.concatenate([best, pdf["u"].to_numpy(dtype=np.int64)])
+            )[: max_k]
+        yield pd.DataFrame({"u": best})
 
     return partial
 
@@ -1841,7 +1856,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "exact_dedup_clusters": SQL_EXACT_DEDUP_CLUSTERS,
-    "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "unique_documents": SQL_UNIQUE_DOCUMENTS,
     "user_sessions": SQL_USER_SESSIONS,
@@ -1860,7 +1874,6 @@ ORACLES: dict[str, str] = {
     "lang_summary": SQL_LANG_SUMMARY,
     "top_tokens": SQL_TOP_TOKENS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
-    "embedding_dup_pairs_hi": SQL_EMBEDDING_DUP_PAIRS_HI,
     "embedding_dup_pairs_fast": SQL_EMBEDDING_DUP_PAIRS,
     "token_stats": SQL_TOKEN_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
@@ -1881,15 +1894,21 @@ ORACLES: dict[str, str] = {
 
 
 def get_oracles() -> dict[str, str]:
-    """Full oracle map. The learned-ANN oracle embeds weights fitted on the
-    driver's correctness sf_dir (sf0.01) and is generated lazily — if that
-    data is unavailable the query degrades to a rows-only check instead of
-    breaking imports."""
+    """Full oracle map. Lazily-generated entries — the learned-ANN oracles
+    embed weights fitted on the driver's correctness sf_dir (sf0.01), and
+    the planted-fixture oracles materialize + reference the planted parquet
+    tables — degrade to a rows-only check if that data is unavailable,
+    instead of breaking imports."""
     out = dict(ORACLES)
     try:
         out["learned_ann_cosine"] = _sql_learned_ann()
         out["learned_multiband_ann"] = _sql_learned_multiband_ann()
         out["ivf_ann_cosine"] = _sql_ivf_ann()
+    except Exception:  # noqa: BLE001 — no sf0.01 data in this environment
+        pass
+    try:
+        out["exact_dup_pairs"] = _sql_exact_dup_pairs()
+        out["embedding_dup_pairs_hi"] = _sql_embedding_dup_pairs_hi()
     except Exception:  # noqa: BLE001 — no sf0.01 data in this environment
         pass
     return out
