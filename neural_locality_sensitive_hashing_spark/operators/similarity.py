@@ -333,19 +333,42 @@ def make_e2lsh_udf(
     in the DuckDB oracle. rows_per_band is capped at 2 to fit the
     positional pack below the band tag.
 
-    ``n_probes`` > 1 is the L2 multi-probe (K6 for the Euclidean path,
-    the analogue of Lv et al.'s multi-probe LSH): per band, extra probes
-    step the quantized coordinate closest to its cell boundary one cell
-    toward that boundary — the highest-probability neighboring buckets —
-    in ascending boundary-distance order. Supports up to
-    1 + rows_per_band probes (the base cell + one step per coordinate)."""
+    ``n_probes`` > 1 is the L2 multi-probe (K6 for the Euclidean path —
+    Lv et al.'s multi-probe LSH, VLDB'07): per band, the full RANKED
+    PERTURBATION SEQUENCE over Δ ∈ {-1,0,+1}^r \\ {0} — every combination
+    of stepping each quantized coordinate one cell down, up, or not at
+    all — scored by Lv et al.'s success-probability proxy
+    score(Δ) = Σ_j dist_j(Δ_j)², where dist_j(-1) = frac_j (distance to
+    the lower cell boundary), dist_j(+1) = 1 − frac_j, dist_j(0) = 0;
+    probes are emitted in ascending score order (nearest-boundary
+    single steps first, then away-steps / multi-coordinate steps as
+    their probability warrants). Supports up to 3^rows_per_band probes
+    per band — the L2 path's recall knob now reaches the same depth
+    class as the hyperplane path's 2^b probe masks. Probe sets are
+    nested in n_probes (same ranking for every depth), so recall is
+    monotone in n_probes by construction."""
     if rows_per_band > 2:
         raise ValueError("e2lsh positional pack supports rows_per_band <= 2")
-    if n_probes > 1 + rows_per_band:
+    if n_probes > 3**rows_per_band:
         raise ValueError(
-            f"n_probes={n_probes} exceeds 1 + rows_per_band={1 + rows_per_band}"
+            f"n_probes={n_probes} exceeds 3^rows_per_band={3 ** rows_per_band}: "
+            "an r-coordinate cell only has 3^r - 1 distinct one-step neighbors"
         )
     vt = v.T.copy()
+    # all non-identity perturbation vectors, fixed enumeration order
+    # (deterministic tie-break for equal scores)
+    _deltas = np.array(
+        [
+            d
+            for d in (
+                [(d0,) for d0 in (-1, 0, 1)]
+                if rows_per_band == 1
+                else [(d0, d1) for d0 in (-1, 0, 1) for d1 in (-1, 0, 1)]
+            )
+            if any(d)
+        ],
+        dtype=np.int64,
+    )  # (P, r): P = 3^r - 1
 
     @pandas_udf(ArrayType(LongType()))
     def codes(vecs: pd.Series) -> pd.Series:
@@ -368,17 +391,20 @@ def make_e2lsh_udf(
             probes = [pack(qb)]
             if n_probes > 1:
                 frac = (pos - q).reshape(n, num_bands, rows_per_band)
-                # step direction: toward the nearer cell boundary
-                step = np.where(frac >= 0.5, 1, -1)
-                # boundary distance per coordinate; probe in ascending order
-                bdist = np.minimum(frac, 1.0 - frac)
-                order = bdist.argsort(axis=2)  # (n, bands, r)
+                # Lv et al. score of each perturbation vector: sum over the
+                # stepped coordinates of the squared distance from the query
+                # to the boundary being crossed (down-step crosses the lower
+                # boundary at distance frac, up-step the upper at 1 - frac)
+                down = frac**2  # (n, bands, r)
+                up = (1.0 - frac) ** 2
+                score = (
+                    (_deltas[None, None, :, :] == -1) * down[:, :, None, :]
+                    + (_deltas[None, None, :, :] == 1) * up[:, :, None, :]
+                ).sum(axis=3)  # (n, bands, P)
+                order = score.argsort(axis=2, kind="stable")  # ranked sequence
                 for p in range(n_probes - 1):
-                    cells = qb.copy()
-                    coord = order[:, :, p]  # which coordinate to step
-                    ii, bb = np.meshgrid(np.arange(n), np.arange(num_bands), indexing="ij")
-                    cells[ii, bb, coord] += step[ii, bb, coord]
-                    probes.append(pack(cells))
+                    sel = order[:, :, p]  # (n, bands) -> delta index
+                    probes.append(pack(qb + _deltas[sel]))
             flat = np.stack(probes, axis=2).reshape(n, num_bands * len(probes))
             for j, i in enumerate(ok):
                 out[i] = flat[j]

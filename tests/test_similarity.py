@@ -47,9 +47,10 @@ def test_knn_golden_small(spark):
 
 
 def test_e2lsh_multiprobe_recall_monotone(spark, vectors):
-    """L2 multi-probe (K6 for the Euclidean path): stepping the
-    least-confident quantized coordinate toward its cell boundary raises
-    recall at constant index; probe sets include the base cell."""
+    """L2 multi-probe (K6 for the Euclidean path): the Lv et al. ranked
+    perturbation sequence over {-1,0,+1}^r reaches 3^r probes per band,
+    recall is monotone in probe depth (nested probe sets), and the probe
+    sets include the base cell."""
     from neural_locality_sensitive_hashing_spark.operators.similarity import (
         ann_lsh_l2,
         knn_bruteforce_l2,
@@ -71,8 +72,11 @@ def test_e2lsh_multiprobe_recall_monotone(spark, vectors):
             len(exact[k_] & got.get(k_, set())) / len(exact[k_]) for k_ in exact
         ) / len(exact)
 
-    r1, r3 = recall(1), recall(3)
+    # depths beyond the old 1 + r cap: 5 and 9 = 3^2 now legal
+    r1, r3, r5, r9 = recall(1), recall(3), recall(5), recall(9)
     assert r3 >= r1, f"multi-probe lowered recall: {r1} -> {r3}"
+    assert r5 >= r3 >= r1, f"recall not monotone: {r1}, {r3}, {r5}"
+    assert r9 >= r5, f"recall not monotone at full depth: {r5} -> {r9}"
     assert r3 >= 0.7, f"multi-probe recall too low: {r3}"
 
     import pytest as _pytest
@@ -84,7 +88,7 @@ def test_e2lsh_multiprobe_recall_monotone(spark, vectors):
 
     v, b = e2lsh_params(16, 16, 2, 1.5, 42)
     with _pytest.raises(ValueError, match="n_probes"):
-        make_e2lsh_udf(v, b, 16, 2, 1.5, n_probes=4)
+        make_e2lsh_udf(v, b, 16, 2, 1.5, n_probes=10)  # > 3^2
 
 
 def test_knn_rank_and_dedup(spark, vectors):
