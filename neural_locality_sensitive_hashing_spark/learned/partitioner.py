@@ -75,7 +75,11 @@ def train_partitioner(
     takes one Adam step per minibatch — the reference's shuffled
     epoch-iteration; ``None`` (default) keeps the original full-batch
     step (one gradient per epoch, order-independent), bit-identical to
-    previous rounds."""
+    previous rounds. Deliberate divergence from the reference: the
+    trailing partial batch IS trained on (the reference's
+    ``n_batches = len // batch_size`` drops it, wasting up to
+    batch_size-1 samples per epoch); the balance term is m/n-scaled per
+    step so its per-epoch weight matches the full-batch form."""
     if objective not in ("contrastive", "triplet"):
         raise ValueError(f"unknown objective {objective!r}")
     rng = np.random.default_rng(seed)
@@ -137,9 +141,15 @@ def train_partitioner(
                 active = active * (1.0 - lbl)
             np.add.at(dp, anchors, -2 * diff_n * active / m)
             np.add.at(dp, neg_a, 2 * diff_n * active / m)
-        # balance: (mean_i p_ik - 0.5)^2 per bit
+        # balance: (mean_i p_ik - 0.5)^2 per bit, averaged over the FULL
+        # sample. Scaled by m/n so that summed over one epoch's
+        # ceil(n/batch_size) minibatch steps the balance term carries the
+        # same total weight relative to the per-anchor pull/push terms as
+        # one full-batch step — without the scale, the effective balance
+        # weight would silently grow with the number of minibatches.
+        # Full-batch (m == n) is bit-identical to previous rounds.
         mean_p = p.mean(axis=0)
-        dp += balance_weight * 2 * (mean_p - 0.5)[None, :] / n
+        dp += balance_weight * 2 * (mean_p - 0.5)[None, :] / n * (m / n)
 
         dz = dp * p * (1 - p)
         gw = xn.T @ dz
@@ -202,6 +212,7 @@ def train_multiband_partitioner(
     n_bands: int = 4,
     n_bits: int = 10,
     seed: int = 42,
+    feature_bag_frac: float | None = None,
     **train_kwargs,
 ) -> list[dict[str, np.ndarray]]:
     """Fit ``n_bands`` INDEPENDENT learned codes (seeds seed..seed+B-1) —
@@ -213,11 +224,33 @@ def train_multiband_partitioner(
     B-band LSH construction — measured on the diffuse driver embeddings
     (BENCH/LEARNED_GRID.md): 4x8-bit bands reach recall 0.27 at 7% corpus
     vs 0.22 for the best single hyperplane banding at the same candidate
-    mass, and dominate the hyperplane frontier up to ~20% mass."""
-    return [
-        train_partitioner(x, n_bits=n_bits, seed=seed + band, **train_kwargs)
-        for band in range(n_bands)
-    ]
+    mass, and dominate the hyperplane frontier up to ~20% mass.
+
+    ``feature_bag_frac`` (the classic ensemble decorrelation trick): each
+    band trains on its own random column subset of that fraction — bands
+    that see different features make more independent mistakes, which is
+    what OR-amplification converts into recall.  The fitted sub-space
+    weights are re-expanded to full-dim W rows (zeros on the unseen
+    columns), so the serving kernels (`make_multiband_code_udf`) are
+    unchanged."""
+    out: list[dict[str, np.ndarray]] = []
+    d = x.shape[1]
+    for band in range(n_bands):
+        if feature_bag_frac:
+            bag_rng = np.random.default_rng(seed + 7919 * (band + 1))
+            k = max(2, int(round(feature_bag_frac * d)))
+            cols = np.sort(bag_rng.choice(d, size=k, replace=False))
+            sub = train_partitioner(
+                x[:, cols], n_bits=n_bits, seed=seed + band, **train_kwargs
+            )
+            w_full = np.zeros((d, n_bits))
+            w_full[cols] = sub["W"]
+            out.append({"W": w_full, "b": sub["b"]})
+        else:
+            out.append(
+                train_partitioner(x, n_bits=n_bits, seed=seed + band, **train_kwargs)
+            )
+    return out
 
 
 def multiband_codes_numpy(

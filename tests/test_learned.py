@@ -339,3 +339,36 @@ def test_multiband_learned_dedup_finds_exact_dups(spark):
     want = {(2 * i, 2 * i + 1) for i in range(60)}
     missed = want - got
     assert not missed, f"multiband learned partitioner missed: {missed}"
+
+
+def test_feature_bagged_multiband():
+    """Per-band feature bagging: each band's W is nonzero ONLY on its own
+    column subset, bags differ across bands (decorrelation), and the
+    bagged codes still cluster duplicates together (identical vectors get
+    identical codes; the serving kernel is unchanged)."""
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        multiband_codes_numpy,
+        train_multiband_partitioner,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((300, 24))
+    wl = train_multiband_partitioner(
+        x, n_bands=4, n_bits=6, epochs=20, seed=42, feature_bag_frac=0.5
+    )
+    assert len(wl) == 4
+    bags = []
+    for w in wl:
+        nz = np.flatnonzero(np.abs(w["W"]).sum(axis=1))
+        assert len(nz) == 12, f"bag size {len(nz)} != 0.5 * 24"
+        bags.append(frozenset(nz.tolist()))
+    assert len(set(bags)) > 1, "all bands drew the same feature bag"
+
+    # identical vectors -> identical probe sets through the bagged codes
+    dup = np.vstack([x[:5], x[:5]])
+    rows = multiband_codes_numpy(dup, wl, n_probes=1)
+    for i in range(5):
+        assert rows[i] == rows[i + 5]
+
+    # full-dim W contract: serving kernel shape unchanged (d x n_bits)
+    assert all(w["W"].shape == (24, 6) for w in wl)

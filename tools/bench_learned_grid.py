@@ -43,11 +43,19 @@ GRID = [
     ("8b/8k", 8, 8192, {}),
 ]
 
-# (label, n_bands, n_bits, probes_per_band) — the OR-amplification axis
+# (label, n_bands, n_bits, probes_per_band, extra_fit_kwargs) — the
+# OR-amplification axis; round-5 adds more-bands-fewer-bits points and
+# per-band feature bagging (decorrelated ensembles) aimed at the
+# >=15%-mass frontier where raw 8x8 hyperplanes still won in round 4
 MB_GRID = [
-    ("4 bands x 8b", 4, 8, [1, 4, 8]),
-    ("4 bands x 10b", 4, 10, [2, 8, 16]),
-    ("8 bands x 10b", 8, 10, [1, 4, 8]),
+    ("4 bands x 8b", 4, 8, [1, 4, 8], {}),
+    ("4 bands x 10b", 4, 10, [2, 8, 16], {}),
+    ("8 bands x 10b", 8, 10, [1, 4, 8], {}),
+    ("8 bands x 6b", 8, 6, [1, 2, 4], {}),
+    ("16 bands x 5b", 16, 5, [1, 2], {}),
+    ("8 bands x 6b bag0.7", 8, 6, [1, 2, 4], {"feature_bag_frac": 0.7}),
+    ("16 bands x 5b bag0.5", 16, 5, [1, 2], {"feature_bag_frac": 0.5}),
+    ("8 bands x 8b bag0.7", 8, 8, [2, 4, 8], {"feature_bag_frac": 0.7}),
 ]
 
 
@@ -134,9 +142,9 @@ def main() -> None:
         "| config | probes/band | recall@10 | mean candidates | % of corpus |",
         "|---|---|---|---|---|",
     ]
-    for label, n_bands, n_bits, probe_list in MB_GRID:
+    for label, n_bands, n_bits, probe_list, mb_kw in MB_GRID:
         wl = fit_multiband_on_sample(
-            emb, n_bands=n_bands, n_bits=n_bits, sample_rows=8192, seed=42
+            emb, n_bands=n_bands, n_bits=n_bits, sample_rows=8192, seed=42, **mb_kw
         )
         for n_probes in probe_list:
             ann = (
