@@ -15,11 +15,12 @@ micro-batch of newly crawled pages,
 State lives in parquet stores (Iceberg-style append tables), not in Spark's
 operator state — so the stream can restart from its checkpoint.
 
-State-store layout (the per-batch scan bound): both stores are
+State-store layout (the per-batch scan bound): all three stores are
 hash-partitioned on disk —
 
-    bands/      partitioned by pfx    = pmod(bucket, band_store_parts)
-    signatures/ partitioned by id_pfx = pmod(doc_id, sig_store_parts)
+    bands/      partitioned by pfx      = pmod(bucket, band_store_parts)
+    signatures/ partitioned by id_pfx   = pmod(doc_id, sig_store_parts)
+    dup_pairs/  partitioned by pair_pfx = pmod(a, pair_store_parts)
 
 and every probe/gather first collects the small set of partition values it
 can touch (≤ store_parts values, driver-side) and reads the store with an

@@ -174,14 +174,15 @@ def sweep_corpus(spark, emb, corpus_label: str) -> list[str]:
         )
         print(corpus_label, lines[-1], file=sys.stderr)
 
-    # E2LSH (Euclidean) multi-probe: the K6 knob on the L2 path — probes
-    # step the least-confident quantized coordinate toward its boundary
+    # E2LSH (Euclidean) multi-probe: the K6 knob on the L2 path — the full
+    # Lv et al. ranked perturbation sequence over {-1,0,+1}^r reaches
+    # 3^r = 9 probes per band at r=2 (round-4's single-step cap was 3)
     lines += [
         "",
         f"## {corpus_label} — E2LSH Euclidean (16 bands x 2 rows, w=1.2)",
         "",
-        "| n_probes | recall@10 (L2) | wall (s) |",
-        "|---|---|---|",
+        "| n_probes | recall@10 (L2) | mean candidates | % of corpus | wall (s) |",
+        "|---|---|---|---|---|",
     ]
     t0 = time.time()
     exact_l2 = (
@@ -190,14 +191,27 @@ def sweep_corpus(spark, emb, corpus_label: str) -> list[str]:
         .persist()
     )
     exact_l2.count()
-    lines.append(f"| exact kNN (yardstick) | 1.000 | {time.time() - t0:.1f} |")
-    for n_probes in [1, 2, 3]:
+    lines.append(
+        f"| exact kNN (yardstick) | 1.000 | {n_corpus} | 100% | "
+        f"{time.time() - t0:.1f} |"
+    )
+    e2_v, e2_b = S.e2lsh_params(DIM, 16, 2, 1.2, 42)
+    for n_probes in [1, 2, 3, 5, 7, 9]:
         t0 = time.time()
         ann = S.ann_lsh_l2(
             queries, emb, dim=DIM, k=K, bucket_width=1.2, n_probes=n_probes
         ).select("query_id", "neighbor_id")
         rec = mean_recall_at_k(ann, exact_l2, k=K)
-        lines.append(f"| {n_probes} | {rec:.3f} | {time.time() - t0:.1f} |")
+        n_cand = bucket_join_candidate_count(
+            queries, emb,
+            S.make_e2lsh_udf(e2_v, e2_b, 16, 2, 1.2, n_probes=n_probes),
+            S.make_e2lsh_udf(e2_v, e2_b, 16, 2, 1.2, n_probes=1),
+        )
+        mean_c = n_cand / N_QUERIES
+        lines.append(
+            f"| {n_probes} | {rec:.3f} | {mean_c:.0f} | "
+            f"{100.0 * mean_c / n_corpus:.1f}% | {time.time() - t0:.1f} |"
+        )
         print(corpus_label, lines[-1], file=sys.stderr)
     exact_l2.unpersist()
 
