@@ -260,7 +260,17 @@ def main() -> None:
         "BENCH/LEARNED_GRID.md winner) extends that dominance across every",
         "measured mass point: e.g. diffuse 0.211 vs ~0.12 interpolated",
         "hyperplane recall at 3.2% mass, clustered 0.997 recall at 1.3%",
-        "mass vs 5.0% for the first hyperplane point.",
+        "mass vs 5.0% for the first hyperplane point. (For the HIGH-mass",
+        "frontier — >=15% of corpus — see BENCH/LEARNED_GRID.md round-5:",
+        "feature-bagged 8x8b multiband beats hyperplanes there too.)",
+        "The E2LSH sections sweep the Lv et al. ranked perturbation",
+        "sequence to its full 3^r = 9 probes/band depth: on the clustered",
+        "fixture recall climbs monotonically 0.778 -> 1.000 (probe 5) while",
+        "mass grows 3.4% -> 13.7% — the L2 recall knob now spans the same",
+        "depth class as the hyperplane path's bit-mask probes. On the",
+        "diffuse corpus w=1.2 already collides ~83% of the corpus at one",
+        "probe (the adversarial regime again), so depth there only",
+        "confirms saturation.",
         "",
         f"Reproduce: `python tools/bench_probe_sweep.py {sf_dir}`",
     ]
