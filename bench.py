@@ -61,6 +61,7 @@ HEADLINE = [
     "distinct_texts_kmv",
     "doc_repetition",
     "packed_sequences",
+    "benchmark_decontam",
 ]
 
 WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))

@@ -1542,6 +1542,69 @@ FROM d
 """
 
 
+DECON_K = 4  # gram length for the contamination probe (13 in prod GPT-style
+#              decontamination; 4 here is the selective-but-nonvacuous point
+#              on the synthetic corpus: 49 flagged docs at sf0.01 vs 400 at
+#              k=3 [noise] and 2 at k=5)
+DECON_MOD = 20  # benchmark set = doc_id % DECON_MOD == 0 (~5% pseudo-eval set)
+
+
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (the GPT-3-style n-gram
+    decontamination pass every LLM data pipeline runs): flag corpus
+    documents sharing at least one k-token gram with a benchmark set,
+    with per-doc hit counts (how many benchmark docs, how many distinct
+    grams). Benchmark = the deterministic doc_id % DECON_MOD == 0 slice
+    standing in for an eval suite.
+
+    100 TB shape: the benchmark gram table is tiny next to the corpus
+    (eval suites are MBs, corpora are TBs), so it BROADCASTS — the corpus
+    side is a scan + explode probed against a broadcast hash table, never
+    shuffled on grams; the only exchange is the final per-doc hit
+    aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", T.shingle_set(F.col("text"), DECON_K).alias("sh")
+    )
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    bg = (
+        sh.where(is_bench)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("g"))
+    )
+    cg = sh.where(~is_bench).select("doc_id", F.explode("sh").alias("g"))
+    return (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )
+
+
+SQL_BENCHMARK_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {DECON_K}
+              THEN list_distinct([array_to_string(t[i:i+{DECON_K - 1}], ' ')
+                                  for i in range(1, len(t) - {DECON_K - 2})])
+              ELSE [array_to_string(t, ' ')]
+         END AS s
+  FROM toks
+),
+bg AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh
+       WHERE doc_id % {DECON_MOD} = 0),
+cg AS (SELECT doc_id, unnest(s) AS g FROM sh
+       WHERE doc_id % {DECON_MOD} <> 0)
+SELECT cg.doc_id,
+       count(DISTINCT bg.bench_id) AS n_bench_docs,
+       count(DISTINCT cg.g) AS n_shared_grams
+FROM cg JOIN bg ON cg.g = bg.g
+GROUP BY cg.doc_id
+"""
+
+
 # --- relational parity (TPC-H-ish) -------------------------------------------
 
 
@@ -1823,6 +1886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_texts_kmv": q_distinct_texts_kmv,
     "doc_repetition": q_doc_repetition,
     "packed_sequences": q_packed_sequences,
+    "benchmark_decontam": q_benchmark_decontam,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1865,6 +1929,7 @@ ORACLES: dict[str, str] = {
     "distinct_texts_kmv": SQL_DISTINCT_TEXTS_KMV,
     "doc_repetition": SQL_DOC_REPETITION,
     "packed_sequences": SQL_PACKED_SEQUENCES,
+    "benchmark_decontam": SQL_BENCHMARK_DECONTAM,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,

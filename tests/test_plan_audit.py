@@ -36,6 +36,9 @@ PLAN_BOUNDS = {
     "packed_sequences": 1,
     "doc_sample_hash": 0,
     "doc_repetition": 0,
+    # benchmark gram table broadcasts; the 2 exchanges are the
+    # countDistinct expand + final per-doc aggregation
+    "benchmark_decontam": 2,
 }
 
 

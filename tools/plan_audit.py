@@ -34,6 +34,7 @@ AUDITED = [
     "doc_sample_hash",
     "doc_repetition",
     "packed_sequences",
+    "benchmark_decontam",
 ]
 
 
