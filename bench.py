@@ -62,6 +62,8 @@ HEADLINE = [
     "doc_repetition",
     "packed_sequences",
     "benchmark_decontam",
+    "gopher_quality_flags",
+    "lang_rebalance_sample",
 ]
 
 WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))

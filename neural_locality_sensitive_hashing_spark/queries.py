@@ -1605,6 +1605,112 @@ GROUP BY cg.doc_id
 """
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MEAN_LEN = (3.0, 10.0)
+GOPHER_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as one
+    pass of native higher-order functions — the standard pre-training
+    quality filter: word count floor, mean word length band, fraction of
+    words containing an alphabetic character, and a stopword-presence
+    check, plus the combined pass flag. Zero exchanges: per-row array
+    ops over the scan (same class as doc_repetition)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    nn = F.nullif(n.cast("double"), F.lit(0.0))
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / nn,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nn,
+        6,
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(GOPHER_STOPWORDS))
+    )
+    passed = (
+        (n >= GOPHER_MIN_WORDS)
+        & mean_len.between(*GOPHER_MEAN_LEN)
+        & (alpha_frac >= GOPHER_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stopword_hits"),
+        passed.alias("gopher_pass"),
+    )
+
+
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+SQL_GOPHER_QUALITY_FLAGS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id, len(t) AS n_words,
+         round(list_sum(list_transform(t, x -> len(x))) * 1.0
+               / nullif(len(t), 0), 6) AS mean_word_len,
+         round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / nullif(len(t), 0), 6) AS alpha_frac,
+         len(list_filter(t, x -> list_contains({_SQL_STOPLIST}, lower(x))))
+           AS stopword_hits
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stopword_hits,
+       (n_words >= {GOPHER_MIN_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MEAN_LEN[0]} AND {GOPHER_MEAN_LEN[1]}
+        AND alpha_frac >= {GOPHER_ALPHA_FRAC}
+        AND stopword_hits >= {GOPHER_MIN_STOPWORDS}) AS gopher_pass
+FROM m
+"""
+
+
+def q_lang_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform language rebalancing (data-mixing): downsample every
+    language to the size of the SMALLEST language class, deterministically
+    (per-lang rank over md5(text) — the same reproducible-shuffle order
+    the stratified sampler uses, so reruns and engines agree bit-for-bit).
+    Unlike `lang_stratified_sample`'s fixed quota, the quota here is
+    DERIVED from the data (min class size) — the degenerate-but-exact
+    form of proportional mixture reweighting. At 100 TB: one lang-count
+    aggregate (tiny result, broadcast) + one per-lang window."""
+    docs = load(spark, sf_dir, "documents")
+    quota = docs.groupBy("lang").count().agg(F.min("count").alias("quota"))
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .where(F.col("rk") <= F.col("quota"))
+        .select("lang", "doc_id", "rk")
+    )
+
+
+SQL_LANG_REBALANCE_SAMPLE = """
+WITH q AS (
+  SELECT min(n) AS quota FROM (SELECT count(*) AS n FROM documents GROUP BY lang)
+),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, rk FROM r, q WHERE rk <= quota
+"""
+
+
 # --- relational parity (TPC-H-ish) -------------------------------------------
 
 
@@ -1887,6 +1993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "packed_sequences": q_packed_sequences,
     "benchmark_decontam": q_benchmark_decontam,
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "lang_rebalance_sample": q_lang_rebalance_sample,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1930,6 +2038,8 @@ ORACLES: dict[str, str] = {
     "doc_repetition": SQL_DOC_REPETITION,
     "packed_sequences": SQL_PACKED_SEQUENCES,
     "benchmark_decontam": SQL_BENCHMARK_DECONTAM,
+    "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
+    "lang_rebalance_sample": SQL_LANG_REBALANCE_SAMPLE,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,

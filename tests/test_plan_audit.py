@@ -39,6 +39,9 @@ PLAN_BOUNDS = {
     # benchmark gram table broadcasts; the 2 exchanges are the
     # countDistinct expand + final per-doc aggregation
     "benchmark_decontam": 2,
+    "gopher_quality_flags": 0,
+    # lang-count agg (partial+final over ~5 rows) + the per-lang window
+    "lang_rebalance_sample": 3,
 }
 
 

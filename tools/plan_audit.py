@@ -35,6 +35,8 @@ AUDITED = [
     "doc_repetition",
     "packed_sequences",
     "benchmark_decontam",
+    "gopher_quality_flags",
+    "lang_rebalance_sample",
 ]
 
 
