@@ -88,6 +88,13 @@ def main() -> None:
         "report's stages carry cached/rows per stage",
     )
     ap.add_argument(
+        "--recrawl-dedup", action="store_true",
+        help="pre-stage: canonicalize URLs and keep only the newest crawl "
+        "per canonical URL (operators/recrawl.py) before content dedup — "
+        "the cheapest volume cut on real recrawled web corpora; requires "
+        "url + warc_ts columns in the input",
+    )
+    ap.add_argument(
         "--shingle-bytes", type=int, default=4, choices=(4, 8),
         help="shingle hash width in the verify gather. 4 (default) cuts the "
         "job's total shuffle 44%% (2.19 -> 1.22 GB at 250k docs, measured) "
@@ -145,6 +152,12 @@ def main() -> None:
 
     pages = spark.read.parquet(args.pages)
     n_docs = pages.count()
+    if args.recrawl_dedup:
+        from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+            latest_crawl_per_url,
+        )
+
+        pages = latest_crawl_per_url(pages)
     pages = pages.select("doc_id", "text")
     if args.repartition >= 0:
         # optional: balance the narrow projection across all cores
