@@ -119,3 +119,44 @@ def test_winnow_shared_block_guarantee(block, pre_a, pre_b):
     fa = fps(pre_a + block)
     fb = fps(pre_b + block)
     assert fa & fb, "winnowing guarantee violated"
+
+
+@given(
+    st.sampled_from(["http", "https"]),
+    st.sampled_from(["Example.com", "www.a.b.org", "X.io:8080", "c.net:443"]),
+    st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=x", "fbclid=9", "z=3"]),
+        max_size=4,
+    ),
+    st.sampled_from(["", "/", "/p", "/p/q/", "/p//"]),
+    st.sampled_from(["", "#frag"]),
+)
+@settings(max_examples=15, deadline=None)
+def test_canonical_url_idempotent_and_order_free(
+    spark, proto, host, params, path, frag
+):
+    """canonical_url is IDEMPOTENT (canon(canon(u)) == canon(u)) and
+    param-order-free (shuffled query strings canonicalize identically) —
+    the two properties that make it a safe dedup key."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+        canonical_url,
+    )
+
+    q = "?" + "&".join(params) if params else ""
+    url = f"{proto}://{host}{path}{q}{frag}"
+    url_rev = f"{proto}://{host}{path}" + (
+        "?" + "&".join(reversed(params)) if params else ""
+    ) + frag
+    c1, c2, c3 = (
+        spark.range(1)
+        .select(
+            canonical_url(F.lit(url)).alias("a"),
+            canonical_url(canonical_url(F.lit(url))).alias("b"),
+            canonical_url(F.lit(url_rev)).alias("c"),
+        )
+        .first()
+    )
+    assert c2 == c1, (url, c1, c2)  # idempotent
+    assert c3 == c1, (url, url_rev, c1, c3)  # order-free
