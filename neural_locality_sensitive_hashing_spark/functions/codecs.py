@@ -436,7 +436,9 @@ def encode_mp4(
 
     n = len(frames)
     timescale = fps
-    fpc = frames_per_chunk if frames_per_chunk else n
+    # max(..., 1) keeps range()'s step nonzero for an empty frame list —
+    # a zero-frame container is still structurally valid (stsz count 0)
+    fpc = frames_per_chunk if frames_per_chunk else max(n, 1)
     # chunk layout: list of per-chunk frame counts + relative chunk starts
     chunk_counts = [min(fpc, n - i) for i in range(0, n, fpc)] or [0]
     frame_iter = iter(frames)

@@ -32,19 +32,30 @@ TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form of a URL column, native expressions only."""
-    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    authority = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
-    authority = F.regexp_replace(authority, r"^www\.", "")
+    """Canonical form of a URL column, native expressions only.
+
+    Unparseable URLs (missing scheme, protocol-relative, malformed)
+    canonicalize to the RAW url string instead of NULL — via try_parse_url
+    (plain parse_url THROWS on invalid URLs under Spark 4's ANSI mode,
+    which would abort the whole job on one bad crawl record). A NULL key
+    would collapse every unparseable row into one window partition and
+    silently drop all but one of them in latest_crawl_per_url — the
+    raw-string fallback keeps each distinct unparseable URL its own dedup
+    key (no loss, just no normalization)."""
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    authority = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    # strip ALL leading www. prefixes in one anchored pass — one-at-a-time
+    # stripping would break idempotence for www.www.x.com
+    authority = F.regexp_replace(authority, r"^(www\.)+", "")
     # strip the scheme's default port only
     authority = F.when(
         proto == "http", F.regexp_replace(authority, r":80$", "")
     ).when(
         proto == "https", F.regexp_replace(authority, r":443$", "")
     ).otherwise(authority)
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/+$", "")
-    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -54,7 +65,9 @@ def canonical_url(url: Column) -> Column:
     qpart = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(proto, F.lit("://"), authority, path, qpart)
+    return F.coalesce(
+        F.concat(proto, F.lit("://"), authority, path, qpart), url
+    )
 
 
 def latest_crawl_per_url(

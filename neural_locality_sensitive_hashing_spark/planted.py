@@ -21,6 +21,7 @@ rename, skip when present.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -31,8 +32,27 @@ N_PLANTED_VECS = 4  # near-copies of the 4 lowest vec_ids
 VEC_SHIFT = 0.05  # element-0 shift: cosine ≈ 0.9988 on the driver embeddings
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cache key component derived from the SOURCE tables' identity:
+    absolute path + size + mtime of both parquet files. A regenerated
+    corpus (or a same-basename sf dir under a different root) gets a new
+    planted directory instead of silently serving stale fixtures — stale
+    fixtures would stop matching any corpus row, and since BOTH engines
+    read the planted file the oracle would go vacuously green (0 vs 0),
+    the exact failure mode this module exists to prevent."""
+    h = hashlib.sha256()
+    for name in ("documents.parquet", "embeddings.parquet"):
+        p = os.path.join(sf_dir, name)
+        st = os.stat(p)
+        h.update(f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def planted_dir(sf_dir: str) -> str:
-    return os.path.join(PLANTED_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        PLANTED_ROOT, f"{base}-{_source_fingerprint(sf_dir)}"
+    )
 
 
 def planted_documents_path(sf_dir: str) -> str:

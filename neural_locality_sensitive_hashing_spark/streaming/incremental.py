@@ -145,6 +145,9 @@ class IncrementalDeduper:
         self.sig_store = os.path.join(state_dir, "signatures")
         self.band_store = os.path.join(state_dir, "bands")
         self.pair_store = os.path.join(state_dir, "dup_pairs")
+        # resuming over a state_dir written by the pre-partitioned layout:
+        # rewrite the flat pair store once before any append or read
+        self._migrate_flat_pair_store()
 
     def compact_stores(self) -> None:
         """Maintenance: collapse each store partition's per-batch small
@@ -169,6 +172,40 @@ class IncrementalDeduper:
         if not os.path.exists(path):
             return None
         return self.spark.read.parquet(path)
+
+    def _migrate_flat_pair_store(self) -> None:
+        """One-time layout migration: a dup-pair store written by the
+        pre-partitioned version holds flat part-files with no pair_pfx
+        column. Appending partitioned data into it would leave files at
+        two directory depths (Spark refuses the read: conflicting
+        directory structures), and per-partition compaction would fail on
+        the missing column — so on resume, rewrite the flat store once
+        into the partitioned layout (same swap machinery as compaction,
+        crash-safe)."""
+        recover_store(self.pair_store)
+        if not os.path.exists(self.pair_store):
+            return
+        has_flat = any(
+            f.startswith("part-") for f in os.listdir(self.pair_store)
+        )
+        if not has_flat:
+            return
+        df = self.spark.read.parquet(self.pair_store).withColumn(
+            "pair_pfx", F.pmod(F.col("a"), F.lit(self.pair_store_parts))
+        )
+        tmp, old = self.pair_store + ".compact.tmp", self.pair_store + ".compact.old"
+        for leftover in (tmp, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        (
+            df.repartition("pair_pfx")
+            .write.mode("overwrite")
+            .partitionBy("pair_pfx")
+            .parquet(tmp)
+        )
+        os.rename(self.pair_store, old)
+        os.rename(tmp, self.pair_store)
+        shutil.rmtree(old)
 
     # -- pruned store readers -------------------------------------------------
 

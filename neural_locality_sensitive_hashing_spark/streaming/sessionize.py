@@ -45,6 +45,17 @@ SESSION_SCHEMA = (
 # inside a micro-batch — matching the batch query's decimal(18,6) sum
 # contract, where float64 accumulation could flip the last ulp at the
 # round(4) boundary depending on shuffle order.
+#
+# CHECKPOINT COMPATIBILITY (deliberate break): `s` changed double->bigint
+# with the micro-unit semantics. A stream checkpointed under the old
+# float-state schema CANNOT resume on this version — Spark's state-schema
+# check (spark.sql.streaming.stateStore.stateSchemaCheck, default on)
+# rejects it LOUDLY with StateSchemaNotCompatible. That is the intended
+# behavior: the old state holds float VALUE sums, so any silent
+# reinterpretation as micro-units would corrupt every open session's sum.
+# Restart such streams from a fresh checkpoint (the parquet-store dedup
+# state is unaffected; only the in-flight open-session operator state is
+# dropped, and closed sessions were already emitted downstream).
 STATE_SCHEMA = "start double, last double, n bigint, s bigint"
 _COLS = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
 

@@ -126,6 +126,10 @@ def test_mp4_multichunk_demux_and_crafted_stco():
 
     from neural_locality_sensitive_hashing_spark.functions import codecs
 
+    # zero-frame container stays encodable and structurally valid
+    empty = codecs.parse_mp4(codecs.encode_mp4([], 64, 64))
+    assert empty is not None and empty["frame_count"] == 0
+
     frames = [bytes([i]) * (50 + 13 * i) for i in range(11)]
     mp4 = codecs.encode_mp4(
         frames, 64, 64, fps=5, frames_per_chunk=4, chunk_gap=37

@@ -65,4 +65,33 @@ def test_planted_generation_idempotent(tmp_path, monkeypatch):
     assert docs_p2 == docs_p
     assert os.path.getmtime(docs_p) == mtime
     # per-sf isolation: a different sf dir gets its own directory
-    assert planted.planted_dir("/x/sf0.1") != planted.planted_dir("/x/sf0.01")
+    assert planted.planted_dir("/root/testdata/sf0.01") != planted.planted_dir(SF)
+
+
+def test_planted_cache_invalidates_on_source_change(tmp_path, monkeypatch):
+    """The cache key fingerprints the SOURCE tables (path+size+mtime): a
+    regenerated corpus — or the same basename under another root — maps to
+    a fresh planted dir instead of silently serving stale fixtures."""
+    import shutil
+
+    monkeypatch.setattr(planted, "PLANTED_ROOT", str(tmp_path / "p"))
+    copy = tmp_path / "sf0.001"
+    copy.mkdir()
+    for n in ("documents.parquet", "embeddings.parquet"):
+        shutil.copy(f"{SF}/{n}", copy / n)
+    d1 = planted.planted_dir(str(copy))
+    planted.ensure_planted(str(copy))
+    # "regenerate" the corpus: same path, new bytes/mtime
+    duckdb.sql(
+        f"""COPY (SELECT doc_id, text || ' CHANGED' AS text
+               FROM read_parquet('{SF}/documents.parquet'))
+           TO '{copy / "documents.parquet"}' (FORMAT PARQUET)"""
+    )
+    d2 = planted.planted_dir(str(copy))
+    assert d2 != d1
+    docs_p, _ = planted.ensure_planted(str(copy))
+    assert docs_p.startswith(d2)
+    got = duckdb.sql(
+        f"SELECT text FROM read_parquet('{docs_p}') ORDER BY doc_id LIMIT 1"
+    ).fetchone()[0]
+    assert got.endswith(" CHANGED")  # fixtures re-derived from the NEW corpus

@@ -43,10 +43,33 @@ def _canon(spark, url: str) -> str:
             "https://example.com:8443/x?id=7",
         ),
         ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # repeated www prefixes strip in ONE pass (idempotence)
+        ("http://www.www.x.com/", "http://x.com"),
+        # unparseable URLs fall back to the raw string, never NULL
+        ("//a.com/x", "//a.com/x"),
+        ("not_a_url", "not_a_url"),
     ],
 )
 def test_canonical_url(spark, raw, want):
     assert _canon(spark, raw) == want
+
+
+def test_unparseable_urls_not_collapsed(spark):
+    """Distinct unparseable URLs must each survive latest_crawl_per_url —
+    a NULL canonical key would merge them into one window partition and
+    silently drop all but one."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, "//a.com/x", base, "a"),
+        (1, "not_a_url", base, "b"),
+        (2, "also not a url", base, "c"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, text string"
+    )
+    kept = latest_crawl_per_url(pages).collect()
+    assert {r.doc_id for r in kept} == {0, 1, 2}
+    assert all(r.canonical_url is not None for r in kept)
 
 
 def test_latest_crawl_per_url(spark):

@@ -235,6 +235,58 @@ def test_compaction_crash_window_recovers(spark, pages_1k, tmp_path):
     assert dedup.dup_pairs().count() == n_pairs
 
 
+def test_flat_pair_store_migrates_on_resume(spark, pages_1k, tmp_path):
+    """A dup-pair store written by the pre-partitioned layout (flat
+    part-files, no pair_pfx column) is rewritten once into the
+    partitioned layout when a deduper resumes over the state_dir — new
+    appends, reads, and per-partition compaction all work on top."""
+    import glob
+
+    from neural_locality_sensitive_hashing_spark.streaming.incremental import (
+        IncrementalDeduper,
+    )
+
+    pages_path, _ = pages_1k
+    pages = spark.read.parquet(pages_path)
+    state = tmp_path / "state"
+    dedup = IncrementalDeduper(spark, CFG, str(state))
+    dedup.process_batch(pages.where("doc_id % 2 = 0"), 0)
+    before = sorted((r.a, r.b) for r in dedup.dup_pairs().collect())
+
+    # simulate the legacy layout: flatten the store (drop pair_pfx dirs)
+    legacy = spark.read.parquet(dedup.pair_store).drop("pair_pfx")
+    flat = str(tmp_path / "flat_pairs")
+    legacy.coalesce(1).write.parquet(flat)
+    import shutil as _sh
+
+    _sh.rmtree(dedup.pair_store)
+    _sh.move(flat, dedup.pair_store)
+    assert any(
+        f.startswith("part-") for f in os.listdir(dedup.pair_store)
+    )
+
+    # resume: constructor migrates; batch 1 appends partitioned on top
+    dedup2 = IncrementalDeduper(spark, CFG, str(state))
+    assert not any(
+        f.startswith("part-") for f in os.listdir(dedup2.pair_store)
+    )
+    assert sorted((r.a, r.b) for r in dedup2.dup_pairs().collect()) == before
+    dedup2.process_batch(pages.where("doc_id % 2 = 1"), 1)
+    dedup2.compact_stores()
+    per_dir: dict[str, int] = {}
+    for f in glob.glob(f"{dedup2.pair_store}/**/*.parquet", recursive=True):
+        if os.path.basename(f).startswith("part-"):
+            per_dir[os.path.dirname(f)] = per_dir.get(os.path.dirname(f), 0) + 1
+    assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+    from neural_locality_sensitive_hashing_spark.operators.dedup import (
+        minhash_dup_pairs as _mdp,
+    )
+
+    assert {(r.a, r.b) for r in dedup2.dup_pairs().collect()} == {
+        (r.a, r.b) for r in _mdp(pages, CFG).collect()
+    }
+
+
 def test_compact_every_auto_trigger(spark, pages_1k, tmp_path):
     """compact_every=2 compacts after batches 1 and 3 (0-indexed ids 1, 3):
     after batch 3 every store partition dir holds exactly one data file."""
