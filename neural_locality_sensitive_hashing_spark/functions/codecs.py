@@ -399,6 +399,15 @@ def sample_video_frames(
         if si < len(sizes):
             return []  # stsc/stco don't cover every sample: inconsistent container
     else:
+        # contiguous-from-one-offset path: only valid when the sample
+        # tables don't contradict it. If stsc says the FIRST chunk holds
+        # fewer than all samples (multi-chunk layout) while stco was
+        # missing or rejected (e.g. the over-declared-count guard), a
+        # contiguous walk would silently slice inter-chunk bytes into
+        # frames — refuse so callers take their stride fallback.
+        stc = info.get("sample_to_chunk")
+        if stc and (len(stc) > 1 or stc[0][1] < len(sizes)):
+            return []
         base = (chunk_offsets or [info.get("mdat_offset", 0)])[0]
         offsets = [base]
         for s in sizes[:-1]:

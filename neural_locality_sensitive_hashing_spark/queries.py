@@ -48,16 +48,33 @@ _SQL_TOKS = (
     "x -> x <> '')"
 )
 
+
+def _sql_gram_case(k: int, distinct: bool = True) -> str:
+    """DuckDB k-gram CASE expression over a token-array column ``t`` —
+    THE single source of the inclusive-slice arithmetic for the shared
+    tokenization contract (module docstring): k-token space-joined grams,
+    docs shorter than k contributing one whole-document gram. Every
+    oracle that shingles (ngram/minhash family, doc_repetition,
+    benchmark_decontam) derives its fragment from here so the off-by-one
+    -prone bounds exist exactly once."""
+    lst = (
+        f"[array_to_string(t[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(t) - {k - 2})]"
+    )
+    if distinct:
+        lst = f"list_distinct({lst})"
+    return (
+        f"CASE WHEN len(t) >= {k} THEN {lst} "
+        f"ELSE [array_to_string(t, ' ')] END"
+    )
+
+
 _SQL_SHINGLES = f"""
 toks AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents
 ),
 sh AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 5
-              THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
-              ELSE [array_to_string(t, ' ')]
-         END AS s
+  SELECT doc_id, {_sql_gram_case(5)} AS s
   FROM toks
 )
 """
@@ -1480,12 +1497,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_REPETITION = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= {CFG.shingle_k}
-              THEN [array_to_string(t[i:i+{CFG.shingle_k - 1}], ' ')
-                    for i in range(1, len(t) - {CFG.shingle_k - 2})]
-              ELSE [array_to_string(t, ' ')]
-         END AS s
+  SELECT doc_id, {_sql_gram_case(CFG.shingle_k, distinct=False)} AS s
   FROM toks
 )
 SELECT doc_id, len(s) AS n_shingles, len(list_distinct(s)) AS n_distinct,
@@ -1547,6 +1559,13 @@ DECON_K = 4  # gram length for the contamination probe (13 in prod GPT-style
 #              on the synthetic corpus: 49 flagged docs at sf0.01 vs 400 at
 #              k=3 [noise] and 2 at k=5)
 DECON_MOD = 20  # benchmark set = doc_id % DECON_MOD == 0 (~5% pseudo-eval set)
+# hard cap on benchmark membership: a REAL eval suite is a fixed small
+# set (MBs), but the %-derived pseudo-benchmark grows with the corpus —
+# without the cap the broadcast below would scale to corpus size and blow
+# past the executor broadcast budget at web scale. 200k keeps the cap
+# inert at every test/bench sf (max doc_id 5000) while bounding the
+# broadcast at <=10k docs' grams forever.
+DECON_MAX_BENCH_ID = 200_000
 
 
 def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,18 +1574,20 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing at least one k-token gram with a benchmark set,
     with per-doc hit counts (how many benchmark docs, how many distinct
     grams). Benchmark = the deterministic doc_id % DECON_MOD == 0 slice
-    standing in for an eval suite.
+    (capped at DECON_MAX_BENCH_ID) standing in for an eval suite.
 
-    100 TB shape: the benchmark gram table is tiny next to the corpus
-    (eval suites are MBs, corpora are TBs), so it BROADCASTS — the corpus
-    side is a scan + explode probed against a broadcast hash table, never
-    shuffled on grams; the only exchange is the final per-doc hit
-    aggregation."""
+    100 TB shape: the benchmark gram table is BOUNDED-small (real eval
+    suites are MBs; the pseudo-benchmark here is capped), so it
+    BROADCASTS — the corpus side is a scan + explode probed against a
+    broadcast hash table, never shuffled on grams; the only exchange is
+    the final per-doc hit aggregation."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", T.shingle_set(F.col("text"), DECON_K).alias("sh")
     )
-    is_bench = F.col("doc_id") % DECON_MOD == 0
+    is_bench = (F.col("doc_id") % DECON_MOD == 0) & (
+        F.col("doc_id") < DECON_MAX_BENCH_ID
+    )
     bg = (
         sh.where(is_bench)
         .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("g"))
@@ -1585,18 +1606,13 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BENCHMARK_DECONTAM = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= {DECON_K}
-              THEN list_distinct([array_to_string(t[i:i+{DECON_K - 1}], ' ')
-                                  for i in range(1, len(t) - {DECON_K - 2})])
-              ELSE [array_to_string(t, ' ')]
-         END AS s
+  SELECT doc_id, {_sql_gram_case(DECON_K)} AS s
   FROM toks
 ),
 bg AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh
-       WHERE doc_id % {DECON_MOD} = 0),
+       WHERE doc_id % {DECON_MOD} = 0 AND doc_id < {DECON_MAX_BENCH_ID}),
 cg AS (SELECT doc_id, unnest(s) AS g FROM sh
-       WHERE doc_id % {DECON_MOD} <> 0)
+       WHERE NOT (doc_id % {DECON_MOD} = 0 AND doc_id < {DECON_MAX_BENCH_ID}))
 SELECT cg.doc_id,
        count(DISTINCT bg.bench_id) AS n_bench_docs,
        count(DISTINCT cg.g) AS n_shared_grams
@@ -2084,6 +2100,10 @@ def get_oracles() -> dict[str, str]:
     try:
         out["exact_dup_pairs"] = _sql_exact_dup_pairs()
         out["embedding_dup_pairs_hi"] = _sql_embedding_dup_pairs_hi()
-    except Exception:  # noqa: BLE001 — no sf0.01 data in this environment
+    except FileNotFoundError:
+        # no sf0.01 data in this environment: rows-only degrade is fine.
+        # Any OTHER error (duckdb failure, bad SQL, schema drift) must
+        # propagate — silently dropping these entries would disable the
+        # anti-vacuity oracles with no visible signal.
         pass
     return out

@@ -94,10 +94,6 @@ def compact_parquet_store(
     if not os.path.exists(path):
         return
     df = spark.read.parquet(path)
-    tmp, old = path + ".compact.tmp", path + ".compact.old"
-    for leftover in (tmp, old):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
     writer = df.repartition(F.col(partition_col)).write if partition_col else (
         df.coalesce(1).write
     )
@@ -105,7 +101,21 @@ def compact_parquet_store(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_col:
         writer = writer.partitionBy(partition_col)
-    writer.mode("overwrite").parquet(tmp)
+    _swap_rewrite(path, lambda tmp: writer.mode("overwrite").parquet(tmp))
+
+
+def _swap_rewrite(path: str, write_tmp) -> None:
+    """THE crash-safe store rewrite protocol, in one place: write the new
+    layout into ``<path>.compact.tmp``, then double-rename through
+    ``<path>.compact.old``. A crash between the renames is healed by
+    ``recover_store`` (paired naming — keep them in sync). Shared by
+    compaction and the flat-pair-store migration so the swap ordering is
+    defined exactly once."""
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    write_tmp(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -193,19 +203,13 @@ class IncrementalDeduper:
         df = self.spark.read.parquet(self.pair_store).withColumn(
             "pair_pfx", F.pmod(F.col("a"), F.lit(self.pair_store_parts))
         )
-        tmp, old = self.pair_store + ".compact.tmp", self.pair_store + ".compact.old"
-        for leftover in (tmp, old):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
-        (
-            df.repartition("pair_pfx")
+        _swap_rewrite(
+            self.pair_store,
+            lambda tmp: df.repartition("pair_pfx")
             .write.mode("overwrite")
             .partitionBy("pair_pfx")
-            .parquet(tmp)
+            .parquet(tmp),
         )
-        os.rename(self.pair_store, old)
-        os.rename(tmp, self.pair_store)
-        shutil.rmtree(old)
 
     # -- pruned store readers -------------------------------------------------
 

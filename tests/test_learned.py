@@ -372,3 +372,28 @@ def test_feature_bagged_multiband():
 
     # full-dim W contract: serving kernel shape unchanged (d x n_bits)
     assert all(w["W"].shape == (24, 6) for w in wl)
+
+
+def test_minibatch_preserves_bit_balance():
+    """Minibatch training must keep per-bit bucket balance comparable to
+    full-batch at the same balance_weight — the review-confirmed failure
+    of scaling the balance gradient by m/n was 4-5x worse imbalance
+    (codes drifting to hot/cold buckets, inflating LSH candidate mass)."""
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        _sigmoid,
+        train_partitioner,
+    )
+
+    rng = np.random.default_rng(7)
+    # anisotropic sample: a dominant direction tempts all bits to align
+    x = rng.standard_normal((1024, 32)) * np.linspace(3.0, 0.2, 32)
+
+    def imbalance(weights):
+        p = _sigmoid(x @ weights["W"] + weights["b"])
+        return float(np.abs((p > 0.5).mean(axis=0) - 0.5).mean())
+
+    full = imbalance(train_partitioner(x, n_bits=12, epochs=40, seed=3))
+    mini = imbalance(
+        train_partitioner(x, n_bits=12, epochs=40, seed=3, batch_size=32)
+    )
+    assert mini < max(3.0 * full, 0.03), (mini, full)

@@ -151,8 +151,18 @@ def test_mp4_multichunk_demux_and_crafted_stco():
     bad = single[:idx] + b"stco" + struct.pack(">II", 0, 0xFFFF) + single[idx + 12 :]
     parsed = codecs.parse_mp4(bad)
     assert parsed is not None and "chunk_offsets" not in parsed
-    # frame sampling still works off mdat_offset
+    # frame sampling still works off mdat_offset (stsc confirms one chunk)
     assert codecs.sample_video_frames(bad, parsed, max_frames=3) == frames[:3]
+    # MULTI-chunk file with its stco rejected but stsc surviving: the
+    # contiguous path would slice gap padding into frames 5+ — must
+    # refuse instead (callers take the stride fallback)
+    mc_stco = b"stco" + struct.pack(">II", 0, 3)
+    mcidx = mp4.index(mc_stco)
+    mc_bad = mp4[:mcidx] + b"stco" + struct.pack(">II", 0, 0xFFFF) + mp4[mcidx + 12 :]
+    mc_parsed = codecs.parse_mp4(mc_bad)
+    assert mc_parsed is not None and "chunk_offsets" not in mc_parsed
+    assert mc_parsed["sample_to_chunk"] == [(1, 4, 1), (3, 3, 1)]
+    assert codecs.sample_video_frames(mc_bad, mc_parsed, max_frames=11) == []
 
 
 def test_metadata_prunes_payload(spark, tmp_path):
