@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_recall_at_k",
     "learned_ann_cosine",
     "learned_multiband_ann",
+    "learned_bagged_ann",
     "embedding_dup_pairs",
     "embedding_dup_pairs_hi",
     "embedding_dup_pairs_fast",

@@ -562,13 +562,67 @@ def q_learned_multiband_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learned_ann_multiband(queries, emb, wl, k=ANN_K, n_probes=LEARNED_PROBES)
 
 
+BAG_BANDS = 8
+BAG_BITS = 8
+BAG_FRAC = 0.7
+
+
+@functools.lru_cache(maxsize=4)
+def _bagged_weights_for(sf_dir: str):
+    """The round-5 LEARNED_GRID winner's construction (8 bands x 8 bits,
+    per-band feature bagging 0.7) on the same deterministic slice — the
+    config that beats raw hyperplanes at the >=15%-candidate-mass
+    frontier, here as an oracle-checked query."""
+    import pyarrow.parquet as pq
+
+    from neural_locality_sensitive_hashing_spark.learned.partitioner import (
+        train_multiband_partitioner,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return train_multiband_partitioner(
+        x, n_bands=BAG_BANDS, n_bits=BAG_BITS, seed=42,
+        feature_bag_frac=BAG_FRAC,
+    )
+
+
+def q_learned_bagged_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-bagged multiband learned ANN (8 x 8b, bag 0.7): each band
+    trains on its own random column subset so bands make decorrelated
+    mistakes — the construction that closed the high-mass frontier
+    against raw hyperplanes (BENCH/LEARNED_GRID.md round-5, replicated in
+    BENCH/PROBE_SWEEP.md). Serving plan is IDENTICAL to
+    learned_multiband_ann (bagged weights re-expand to full-dim rows):
+    one band-offset explode, one bucket equi-join, ids-only dedup,
+    post-dedup gather. Oracle replays all 8 bagged weight matrices."""
+    from neural_locality_sensitive_hashing_spark.operators.learned import (
+        learned_ann_multiband,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    wl = _bagged_weights_for(sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return learned_ann_multiband(queries, emb, wl, k=ANN_K, n_probes=LEARNED_PROBES)
+
+
+def _sql_learned_bagged_ann(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return _sql_multiband_replay(_bagged_weights_for(sf_dir), BAG_BITS)
+
+
 def _sql_learned_multiband_ann(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Oracle for q_learned_multiband_ann: the single-band replay
     (_sql_learned_ann) with a band column threaded through every CTE;
     candidates join on (band, code) — equivalent to the engine's
     band-offset buckets."""
-    wl = _multiband_weights_for(sf_dir)
-    h = LEARNED_BITS
+    return _sql_multiband_replay(_multiband_weights_for(sf_dir), LEARNED_BITS)
+
+
+def _sql_multiband_replay(wl, h: int) -> str:
+    """Shared SQL replay for ANY multiband weight list (plain or
+    feature-bagged — bagged weights are full-dim matrices with zero rows
+    on the unseen columns, so the same replay applies verbatim)."""
     rows = []
     for band, w in enumerate(wl):
         W, b = w["W"], w["b"]
@@ -2018,6 +2072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "longrepeat_winnowed_pairs": q_longrepeat_winnowed_pairs,
     "learned_ann_cosine": q_learned_ann_cosine,
     "learned_multiband_ann": q_learned_multiband_ann,
+    "learned_bagged_ann": q_learned_bagged_ann,
     "doc_profile": q_doc_profile,
     "lang_summary": q_lang_summary,
     "top_tokens": q_top_tokens,
@@ -2094,6 +2149,7 @@ def get_oracles() -> dict[str, str]:
     try:
         out["learned_ann_cosine"] = _sql_learned_ann()
         out["learned_multiband_ann"] = _sql_learned_multiband_ann()
+        out["learned_bagged_ann"] = _sql_learned_bagged_ann()
         out["ivf_ann_cosine"] = _sql_ivf_ann()
     except Exception:  # noqa: BLE001 — no sf0.01 data in this environment
         pass

@@ -31,6 +31,7 @@ PLAN_BOUNDS = {
     "ivf_ann_cosine": 2,
     "learned_ann_cosine": 2,
     "learned_multiband_ann": 2,
+    "learned_bagged_ann": 2,
     "user_sessions": 1,
     "long_repeat_pairs": 1,
     "packed_sequences": 1,
