@@ -28,6 +28,7 @@ AUDITED = [
     "ivf_ann_cosine",
     "learned_ann_cosine",
     "learned_multiband_ann",
+    "learned_bagged_ann",
     "user_sessions",
     "unique_documents",
     "long_repeat_pairs",
