@@ -489,24 +489,31 @@ LEARNED_PROBES = 8
 LEARNED_TRAIN_ROWS = 2048
 
 
-@functools.lru_cache(maxsize=4)
-def _learned_weights_for(sf_dir: str):
-    """Deterministic trainer input shared by the Spark query AND the
-    oracle generator: the first LEARNED_TRAIN_ROWS embeddings by vec_id,
-    read via pyarrow (no Spark needed — the trainer is driver-side by
-    design, SURVEY §3 E1). Spark-sampled training stays available through
-    operators.learned.fit_partitioner_on_sample; this fixed slice makes
-    the fitted weights replayable as SQL literals."""
+def _train_slice(sf_dir: str) -> np.ndarray:
+    """THE deterministic trainer input shared by every learned-family
+    query AND its oracle generator: the first LEARNED_TRAIN_ROWS
+    embeddings by vec_id, read via pyarrow (no Spark needed — the trainer
+    is driver-side by design, SURVEY §3 E1). Single definition: the slice
+    contract (sort, head, dtype) must never diverge between query
+    families, or a family silently trains on a different slice and its
+    oracle replay stops matching. Spark-sampled training stays available
+    through operators.learned.fit_partitioner_on_sample."""
     import pyarrow.parquet as pq
 
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+@functools.lru_cache(maxsize=4)
+def _learned_weights_for(sf_dir: str):
+    """Fitted single-code weights over the shared _train_slice — the
+    fixed slice makes the weights replayable as SQL literals."""
     from neural_locality_sensitive_hashing_spark.learned.partitioner import (
         train_partitioner,
     )
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
-    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
-    return train_partitioner(x, n_bits=LEARNED_BITS, seed=42)
+    return train_partitioner(_train_slice(sf_dir), n_bits=LEARNED_BITS, seed=42)
 
 
 def q_learned_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,19 +535,14 @@ MB_BANDS = 4
 
 @functools.lru_cache(maxsize=4)
 def _multiband_weights_for(sf_dir: str):
-    """Same deterministic slice as _learned_weights_for, B independent
-    fits (seeds 42..42+B-1) — replayable as SQL literals per band."""
-    import pyarrow.parquet as pq
-
+    """Same deterministic _train_slice, B independent fits (seeds
+    42..42+B-1) — replayable as SQL literals per band."""
     from neural_locality_sensitive_hashing_spark.learned.partitioner import (
         train_multiband_partitioner,
     )
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
-    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
     return train_multiband_partitioner(
-        x, n_bands=MB_BANDS, n_bits=LEARNED_BITS, seed=42
+        _train_slice(sf_dir), n_bands=MB_BANDS, n_bits=LEARNED_BITS, seed=42
     )
 
 
@@ -570,20 +572,15 @@ BAG_FRAC = 0.7
 @functools.lru_cache(maxsize=4)
 def _bagged_weights_for(sf_dir: str):
     """The round-5 LEARNED_GRID winner's construction (8 bands x 8 bits,
-    per-band feature bagging 0.7) on the same deterministic slice — the
+    per-band feature bagging 0.7) on the shared _train_slice — the
     config that beats raw hyperplanes at the >=15%-candidate-mass
     frontier, here as an oracle-checked query."""
-    import pyarrow.parquet as pq
-
     from neural_locality_sensitive_hashing_spark.learned.partitioner import (
         train_multiband_partitioner,
     )
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
-    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
     return train_multiband_partitioner(
-        x, n_bands=BAG_BANDS, n_bits=BAG_BITS, seed=42,
+        _train_slice(sf_dir), n_bands=BAG_BANDS, n_bits=BAG_BITS, seed=42,
         feature_bag_frac=BAG_FRAC,
     )
 
@@ -1024,16 +1021,13 @@ IVF_ITERS = 20
 
 @functools.lru_cache(maxsize=4)
 def _ivf_codebook_for(sf_dir: str):
-    """Deterministic spherical-k-means codebook over the same pyarrow
-    training slice as the learned partitioner (replayable as SQL literals)."""
-    import pyarrow.parquet as pq
-
+    """Deterministic spherical-k-means codebook over the shared
+    _train_slice (replayable as SQL literals)."""
     from neural_locality_sensitive_hashing_spark.learned.vq import train_vq_codebook
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(LEARNED_TRAIN_ROWS)
-    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
-    return train_vq_codebook(x, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS, seed=42)
+    return train_vq_codebook(
+        _train_slice(sf_dir), n_centroids=IVF_CENTROIDS, iters=IVF_ITERS, seed=42
+    )
 
 
 def q_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2146,20 +2140,20 @@ def get_oracles() -> dict[str, str]:
     tables — degrade to a rows-only check if that data is unavailable,
     instead of breaking imports."""
     out = dict(ORACLES)
-    try:
-        out["learned_ann_cosine"] = _sql_learned_ann()
-        out["learned_multiband_ann"] = _sql_learned_multiband_ann()
-        out["learned_bagged_ann"] = _sql_learned_bagged_ann()
-        out["ivf_ann_cosine"] = _sql_ivf_ann()
-    except Exception:  # noqa: BLE001 — no sf0.01 data in this environment
-        pass
-    try:
-        out["exact_dup_pairs"] = _sql_exact_dup_pairs()
-        out["embedding_dup_pairs_hi"] = _sql_embedding_dup_pairs_hi()
-    except FileNotFoundError:
-        # no sf0.01 data in this environment: rows-only degrade is fine.
-        # Any OTHER error (duckdb failure, bad SQL, schema drift) must
-        # propagate — silently dropping these entries would disable the
-        # anti-vacuity oracles with no visible signal.
-        pass
+    # each entry guarded INDIVIDUALLY, and ONLY for missing sf0.01 data
+    # (FileNotFoundError -> rows-only degrade): a real bug in one
+    # generator must propagate loudly, and must never silently drop the
+    # OTHER lazily-generated oracles with it.
+    for name, gen in [
+        ("learned_ann_cosine", _sql_learned_ann),
+        ("learned_multiband_ann", _sql_learned_multiband_ann),
+        ("learned_bagged_ann", _sql_learned_bagged_ann),
+        ("ivf_ann_cosine", _sql_ivf_ann),
+        ("exact_dup_pairs", _sql_exact_dup_pairs),
+        ("embedding_dup_pairs_hi", _sql_embedding_dup_pairs_hi),
+    ]:
+        try:
+            out[name] = gen()
+        except FileNotFoundError:
+            pass
     return out

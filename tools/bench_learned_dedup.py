@@ -164,8 +164,8 @@ def main() -> None:
         "0.96 recall. Multi-band probing recovers recall (0.61 -> 0.96 at",
         "4x10b going 1 -> 2 probes/band) but never beats MinHash here.",
         "Even the round-5 feature-bagged 8x8b construction — which DOES",
-        "beat hyperplanes on the embedding-ANN frontier — posts 16-42x",
-        "the candidate mass at 0.62-0.81 recall on this path: the",
+        "beat hyperplanes on the embedding-ANN frontier — posts 24-65x",
+        "MinHash's candidate mass at 0.62-0.81 recall on this path: the",
         "negative is about measure mismatch (Jaccard vs embedding",
         "cosine), and no amount of band decorrelation fixes that.",
         "The learned partitioner's win is the EMBEDDING-space tasks",
