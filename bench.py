@@ -32,6 +32,7 @@ os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
 HEADLINE = [
     "minhash_dedup_pairs",
     "minhash_dedup_clusters",
+    "dedup_keep_list",
     "ngram_jaccard_pairs",
     "simhash_dup_pairs",
     "long_repeat_pairs",

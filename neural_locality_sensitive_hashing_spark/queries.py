@@ -269,6 +269,48 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
 """
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deduped corpus: one surviving representative per near-dup
+    cluster, with how many documents it stands for — the keep-list a
+    training-data pipeline actually materializes and ships downstream
+    (everything upstream exists to produce this table). Representative =
+    the cluster's min doc_id (deterministic; cluster_id IS that min by
+    the union-find labeling, so survivors are exactly the rows where
+    doc_id == cluster_id — no extra shuffle beyond the clusters query)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(docs, CFG)
+    labels = connected_components(pairs, CFG.max_cc_iterations)
+    clusters = clusters_with_singletons(labels, docs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs_represented")
+    )
+    return (
+        clusters.where(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "n_docs_represented")
+    )
+
+
+SQL_DEDUP_KEEP_LIST = f"""
+WITH RECURSIVE {_SQL_EXACT_PAIRS_BODY},
+dup AS (SELECT a, b FROM jac WHERE jaccard >= {CFG.jaccard_threshold}),
+edges AS (SELECT a AS src, b AS dst FROM dup UNION SELECT b, a FROM dup),
+reach AS (
+  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+clusters AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+)
+SELECT cluster_id AS doc_id, count(*) AS n_docs_represented
+FROM clusters
+GROUP BY cluster_id
+"""
+
+
 SIMHASH_BITS_SQL = 60  # 60 bits = what the shared md5 hash contract yields
 SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 pairs share >=1 of 4 exact chunks
 SIMHASH_HAMMING_MAX = 3
@@ -2061,6 +2103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_rebalance_sample": q_lang_rebalance_sample,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
+    "dedup_keep_list": q_dedup_keep_list,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "long_repeat_pairs": q_long_repeat_pairs,
     "longrepeat_winnowed_pairs": q_longrepeat_winnowed_pairs,
@@ -2107,6 +2150,7 @@ ORACLES: dict[str, str] = {
     "lang_rebalance_sample": SQL_LANG_REBALANCE_SAMPLE,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
+    "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "long_repeat_pairs": SQL_LONG_REPEAT_PAIRS,
     "longrepeat_winnowed_pairs": SQL_LONGREPEAT_WINNOWED_PAIRS,
