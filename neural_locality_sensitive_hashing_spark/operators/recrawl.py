@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+# Case-insensitive ('UTM_Source=' is the same tracker as 'utm_source='),
+# '=' optional (a bare 'ref' param is still a tracker). Under-matching
+# here only under-dedups — it never drops a distinct page — but it splits
+# what should be one canonical URL into several dedup keys. Valid as both
+# Java regex (Spark rlike) and RE2 (the DuckDB oracle replay).
+TRACKING_PARAM_RE = r"^(?i)(utm_[a-z]+|fbclid|gclid|msclkid|ref)(=|$)"
 
 
 def canonical_url(url: Column) -> Column:

@@ -31,6 +31,7 @@ PLANTED_ROOT = os.path.join(_REPO, ".planted")
 N_PLANTED_DOCS = 5  # copies of the 5 lowest doc_ids
 N_PLANTED_VECS = 4  # near-copies of the 4 lowest vec_ids
 VEC_SHIFT = 0.05  # element-0 shift: cosine ≈ 0.9988 on the driver embeddings
+N_CRAWL_BASE = 30  # base docs fanned out into recrawl URL variants
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -64,15 +65,27 @@ def planted_embeddings_path(sf_dir: str) -> str:
     return os.path.join(planted_dir(sf_dir), "planted_embeddings.parquet")
 
 
+def planted_crawls_path(sf_dir: str) -> str:
+    return os.path.join(planted_dir(sf_dir), "planted_crawls.parquet")
+
+
 def _write_once(sql: str, dest: str) -> None:
     import duckdb
 
     if os.path.exists(dest):
         return
     os.makedirs(os.path.dirname(dest), exist_ok=True)
-    tmp = dest + ".tmp"
-    duckdb.sql(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
-    os.replace(tmp, dest)
+    # pid-suffixed tmp: two concurrent processes (bench + verify both
+    # triggering oracle generation) would otherwise write/replace the SAME
+    # tmp path — content-identical, but one COPY can fail if the other's
+    # os.replace removes the file under it mid-write.
+    tmp = f"{dest}.{os.getpid()}.tmp"
+    try:
+        duckdb.sql(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def ensure_planted(sf_dir: str) -> tuple[str, str]:
@@ -110,13 +123,100 @@ def ensure_planted(sf_dir: str) -> tuple[str, str]:
         """,
         emb_dest,
     )
-    # prune fixtures keyed to superseded fingerprints of THIS sf basename
-    # (each corpus regeneration would otherwise strand a dead parquet dir
-    # under .planted/ forever)
+    _mark_and_prune(sf_dir)
+    return docs_dest, emb_dest
+
+
+def _mark_and_prune(sf_dir: str) -> None:
+    """Record which SOURCE directory this fixture dir derives from, then
+    prune only superseded fingerprints of THE SAME source (marker file
+    matches this sf_dir's abspath). Pruning on basename alone would let
+    two live same-basename corpora under different roots delete each
+    other's fixtures — regeneration thrash, or a loud mid-run read
+    failure for a process holding oracle SQL that embeds the old path."""
+    src_abs = os.path.abspath(sf_dir)
+    marker = os.path.join(planted_dir(sf_dir), "SOURCE")
+    if not os.path.exists(marker):
+        with open(marker + f".{os.getpid()}.tmp", "w") as fh:
+            fh.write(src_abs)
+        os.replace(marker + f".{os.getpid()}.tmp", marker)
     base = os.path.basename(os.path.normpath(sf_dir))
     cur = os.path.basename(planted_dir(sf_dir))
     if os.path.isdir(PLANTED_ROOT):
         for d in os.listdir(PLANTED_ROOT):
-            if d.startswith(f"{base}-") and d != cur:
+            if not d.startswith(f"{base}-") or d == cur:
+                continue
+            other_marker = os.path.join(PLANTED_ROOT, d, "SOURCE")
+            try:
+                with open(other_marker) as fh:
+                    other_src = fh.read().strip()
+            except OSError:
+                continue  # unknown provenance (pre-marker dir): never delete
+            if other_src == src_abs:
                 shutil.rmtree(os.path.join(PLANTED_ROOT, d), ignore_errors=True)
-    return docs_dest, emb_dest
+
+
+def ensure_planted_crawls(sf_dir: str) -> str:
+    """Idempotently materialize the planted RECRAWL table for ``sf_dir``
+    and return its path — the input the recrawl dedup tier needs
+    (url, warc_ts, html, text, lang per BASELINE input_hint, plus a
+    crawl_id for deterministic tie-breaks) that the driver corpus lacks
+    (its documents table has no url/warc_ts columns, and every synthetic
+    URL would be unique — the recrawl oracle would be vacuous).
+
+    Derivation (deterministic, from the corpus): for each of the
+    N_CRAWL_BASE lowest doc_ids, four crawls of the same page —
+      k=0  https://www.Example{d%7}.com/path/{d}?b=2&a=1&ref
+      k=1  https://WWW.example{d%7}.com:443/path/{d}/?a=1&b=2&utm_source=feed
+      k=2  https://example{d%7}.com/path/{d}?a=1&UTM_Campaign=x&b=2#sec
+      k=3  https://example{d%7}.com/only/{d}          (singleton control)
+    k=0..2 differ ONLY by www/case/default-port/trailing-slash/fragment/
+    param-order/tracking-param noise, so they share one canonical URL
+    (winner: k=2, the newest warc_ts); k=3 stays its own key. Two extra
+    rows share a SCHEMELESS url ('no-scheme...') to pin the
+    raw-string fallback path (try_parse_url → NULL → raw url as the key).
+    warc_ts = 2024-01-01 + d days + k hours (unique, ordered by k)."""
+    docs_src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(docs_src):
+        raise FileNotFoundError(docs_src)
+    # planted_dir's fingerprint stats embeddings.parquet too
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        raise FileNotFoundError(os.path.join(sf_dir, "embeddings.parquet"))
+    dest = planted_crawls_path(sf_dir)
+    host = "'example' || (d % 7) || '.com'"
+    base_url = f"'/path/' || d"
+    _write_once(
+        f"""
+        WITH base AS (
+          SELECT doc_id AS d, text, lang FROM read_parquet('{docs_src}')
+          WHERE doc_id < {N_CRAWL_BASE}
+        ),
+        v AS (SELECT unnest(range(4)) AS k),
+        crawls AS (
+          SELECT d * 10 + k AS crawl_id,
+            CASE k
+              WHEN 0 THEN 'https://www.Example' || (d % 7) || '.com'
+                          || {base_url} || '?b=2&a=1&ref'
+              WHEN 1 THEN 'https://WWW.' || {host} || ':443'
+                          || {base_url} || '/?a=1&b=2&utm_source=feed'
+              WHEN 2 THEN 'https://' || {host}
+                          || {base_url} || '?a=1&UTM_Campaign=x&b=2#sec'
+              ELSE 'https://' || {host} || '/only/' || d
+            END AS url,
+            TIMESTAMP '2024-01-01 00:00:00'
+              + d * INTERVAL 1 DAY + k * INTERVAL 1 HOUR AS warc_ts,
+            encode(text) AS html, text, lang
+          FROM base CROSS JOIN v
+        )
+        SELECT * FROM crawls
+        UNION ALL
+        SELECT 9000001, 'no-scheme.example.com/page?x=1',
+               TIMESTAMP '2024-02-01 00:00:00', encode('raw-a'), 'raw-a', 'en'
+        UNION ALL
+        SELECT 9000002, 'no-scheme.example.com/page?x=1',
+               TIMESTAMP '2024-02-02 00:00:00', encode('raw-b'), 'raw-b', 'en'
+        """,
+        dest,
+    )
+    _mark_and_prune(sf_dir)
+    return dest

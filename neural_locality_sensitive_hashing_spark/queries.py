@@ -311,6 +311,109 @@ GROUP BY cluster_id
 """
 
 
+# --- recrawl tier (per-URL dedup, upstream of content dedup) -----------------
+
+
+def q_recrawl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest crawl per canonical URL over the planted_crawls table — the
+    FIRST dedup tier on Common-Crawl-style inputs (operators/recrawl.py).
+    The driver corpus has no url/warc_ts columns and synthetic URLs would
+    be unique, so the tier runs on the planted DATA-LAYER crawls table
+    (planted.py: 4 URL variants per base doc differing only by www/case/
+    default-port/trailing-slash/fragment/param-order/tracking noise, plus
+    a schemeless URL crawled twice for the raw-string fallback); BOTH
+    engines read the same parquet, so the canonicalization + window are
+    value-checked on non-vacuous n_crawls>1 groups."""
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
+    from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+        latest_crawl_per_url,
+    )
+
+    crawls = spark.read.parquet(ensure_planted_crawls(sf_dir))
+    return latest_crawl_per_url(crawls, id_col="crawl_id").select(
+        "crawl_id", "canonical_url", "n_crawls"
+    )
+
+
+def q_recrawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit view of the recrawl tier: canonical URLs crawled >1 time and
+    how many raw crawls each collapses (operators/recrawl.py)."""
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
+    from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+        recrawl_stats,
+    )
+
+    crawls = spark.read.parquet(ensure_planted_crawls(sf_dir))
+    return recrawl_stats(crawls)
+
+
+def _sql_canonical_crawls(sf_dir: str) -> str:
+    """DuckDB CTE replaying operators/recrawl.py::canonical_url with
+    string/regexp functions (DuckDB has no parse_url): scheme+authority
+    lowercased, www. prefixes and default ports stripped, fragment
+    dropped, trailing path slashes dropped, tracking params removed with
+    the SAME TRACKING_PARAM_RE, survivors sorted; schemeless/unparseable
+    URLs (no '://') fall back to the raw string, exactly as the Spark
+    side's try_parse_url NULL fallback does."""
+    from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+        TRACKING_PARAM_RE,
+    )
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
+
+    crawls = ensure_planted_crawls(sf_dir)
+    scheme = r"[a-zA-Z][a-zA-Z0-9+.\-]*"
+    return f"""
+raw AS (SELECT * FROM read_parquet('{crawls}')),
+parts AS (
+  SELECT *,
+    lower(regexp_extract(url, '^({scheme})://', 1)) AS proto,
+    regexp_replace(lower(regexp_extract(url, '^{scheme}://([^/?#]*)', 1)),
+                   '^(www\\.)+', '') AS auth1,
+    regexp_replace(regexp_extract(url, '^{scheme}://[^/?#]*([^?#]*)', 1),
+                   '/+$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q0
+  FROM raw
+),
+canon AS (
+  SELECT *, CASE WHEN proto = '' THEN url ELSE
+    proto || '://'
+    || CASE WHEN proto = 'http' THEN regexp_replace(auth1, ':80$', '')
+            WHEN proto = 'https' THEN regexp_replace(auth1, ':443$', '')
+            ELSE auth1 END
+    || path
+    || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+            ELSE '' END
+  END AS canonical_url
+  FROM (
+    SELECT *, list_sort(list_filter(string_split(q0, '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))) AS kept
+    FROM parts
+  )
+)
+"""
+
+
+def _sql_recrawl_latest(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+WITH {_sql_canonical_crawls(sf_dir)}
+SELECT crawl_id, canonical_url, n_crawls FROM (
+  SELECT crawl_id, canonical_url,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY warc_ts DESC, crawl_id DESC) AS rk,
+         count(*) OVER (PARTITION BY canonical_url) AS n_crawls
+  FROM canon
+) WHERE rk = 1
+"""
+
+
+def _sql_recrawl_stats(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+WITH {_sql_canonical_crawls(sf_dir)}
+SELECT canonical_url, count(*) AS n_crawls
+FROM canon GROUP BY canonical_url HAVING count(*) > 1
+"""
+
+
 SIMHASH_BITS_SQL = 60  # 60 bits = what the shared md5 hash contract yields
 SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 pairs share >=1 of 4 exact chunks
 SIMHASH_HAMMING_MAX = 3
@@ -2104,6 +2207,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
+    "recrawl_latest": q_recrawl_latest,
+    "recrawl_stats": q_recrawl_stats,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "long_repeat_pairs": q_long_repeat_pairs,
     "longrepeat_winnowed_pairs": q_longrepeat_winnowed_pairs,
@@ -2195,6 +2300,8 @@ def get_oracles() -> dict[str, str]:
         ("ivf_ann_cosine", _sql_ivf_ann),
         ("exact_dup_pairs", _sql_exact_dup_pairs),
         ("embedding_dup_pairs_hi", _sql_embedding_dup_pairs_hi),
+        ("recrawl_latest", _sql_recrawl_latest),
+        ("recrawl_stats", _sql_recrawl_stats),
     ]:
         try:
             out[name] = gen()

@@ -29,6 +29,7 @@ per user stays in state, as before.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,6 +59,15 @@ SESSION_SCHEMA = (
 # dropped, and closed sessions were already emitted downstream).
 STATE_SCHEMA = "start double, last double, n bigint, s bigint"
 _COLS = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+
+
+def _micro(v: float) -> int:
+    """value -> integer micro-units with HALF-AWAY-FROM-ZERO rounding —
+    the same tie rule as the batch query's decimal(18,6) cast. Python's
+    round() is banker's (half-to-even), so a value landing exactly on a
+    half-microunit (e.g. 0.0000005) would convert differently there and
+    the streamed sum could diverge from the batch sum by 1e-6 pre-round(4)."""
+    return int(math.floor(abs(v) * 1e6 + 0.5)) * (-1 if v < 0 else 1)
 
 
 def _emit(rows: list[tuple]) -> pd.DataFrame:
@@ -101,7 +111,7 @@ def make_sessionizer(gap_sec: int = 1800, event_time_timeout: bool = False):
                 closed.append((user_id, start, last, n, s))
                 start, last, n, s = t, t, 0, 0
             n += 1
-            s += int(round(float(value) * 1e6))
+            s += _micro(float(value))
             last = max(last, t)
         state.update((float(start), float(last), int(n), int(s)))
         if event_time_timeout:

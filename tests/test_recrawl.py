@@ -114,3 +114,53 @@ def test_recrawl_plan_is_native_single_exchange(spark):
     assert a["exchanges"] == 1, a
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_tracking_params_case_insensitive_and_bare(spark):
+    """'UTM_Source=x', 'Fbclid=...' and a bare 'ref' are trackers too —
+    the case-sensitive '='-required form split one canonical URL into
+    several dedup keys (under-dedup)."""
+    for raw in (
+        "https://a.com/p?UTM_Source=x&a=1",
+        "https://a.com/p?Fbclid=zz&a=1",
+        "https://a.com/p?ref&a=1",
+        "https://a.com/p?REF=home&a=1",
+    ):
+        assert _canon(spark, raw) == "https://a.com/p?a=1"
+
+
+def test_planted_crawls_queries(spark):
+    """End-to-end over the planted crawls DATA-LAYER table (the driver
+    correctness lane's input): the 3 noise-variants per base doc collapse
+    to one canonical URL with the newest crawl (k=2) winning, singletons
+    survive untouched, and the schemeless raw-string fallback group keeps
+    its later crawl."""
+    from neural_locality_sensitive_hashing_spark.planted import N_CRAWL_BASE
+    from neural_locality_sensitive_hashing_spark.queries import (
+        q_recrawl_latest,
+        q_recrawl_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = q_recrawl_latest(spark, sf).collect()
+    # N_CRAWL_BASE triple-group winners + N_CRAWL_BASE singletons + 1 fallback
+    assert len(kept) == 2 * N_CRAWL_BASE + 1
+    triples = [r for r in kept if r.n_crawls == 3]
+    assert len(triples) == N_CRAWL_BASE
+    # winner of every triple group is the k=2 variant (newest warc_ts)
+    assert all(r.crawl_id % 10 == 2 for r in triples)
+    assert all(
+        r.canonical_url.startswith("https://example")
+        and "?a=1&b=2" in r.canonical_url
+        for r in triples
+    )
+    fallback = [r for r in kept if r.crawl_id >= 9000000]
+    assert len(fallback) == 1
+    assert fallback[0].crawl_id == 9000002  # the LATER schemeless crawl
+    assert fallback[0].canonical_url == "no-scheme.example.com/page?x=1"
+    assert fallback[0].n_crawls == 2
+
+    stats = {r.canonical_url: r.n_crawls for r in q_recrawl_stats(spark, sf).collect()}
+    assert len(stats) == N_CRAWL_BASE + 1
+    assert stats["no-scheme.example.com/page?x=1"] == 2
+    assert set(stats.values()) == {2, 3}
