@@ -1580,13 +1580,18 @@ def q_lang_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified quota sample: the first STRATA_QUOTA docs
     per language in md5 order — quota/mixing sampling (data-mixing
     pipelines balance strata this way) with full reproducibility; md5
-    order is an unbiased shuffle of each stratum."""
+    order is an unbiased shuffle of each stratum.
+
+    Scale shape: NOT the naive per-lang window (which would hash the
+    whole corpus onto <=n_lang reducers — en alone is ~half a real web
+    corpus). operators/sampling.py::quota_rank computes identical ranks
+    via md5-prefix buckets: tiny (lang,bucket) count agg broadcast back,
+    non-contributing buckets dropped BEFORE the window, exact window
+    keyed by (lang,bucket) over ~quota rows per lang."""
+    from neural_locality_sensitive_hashing_spark.operators.sampling import quota_rank
+
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.asc("doc_id"))
-    return (
-        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= STRATA_QUOTA)
-    )
+    return quota_rank(docs, STRATA_QUOTA)
 
 
 SQL_LANG_STRATIFIED_SAMPLE = f"""
@@ -1893,18 +1898,15 @@ def q_lang_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike `lang_stratified_sample`'s fixed quota, the quota here is
     DERIVED from the data (min class size) — the degenerate-but-exact
     form of proportional mixture reweighting. At 100 TB: one lang-count
-    aggregate (tiny result, broadcast) + one per-lang window."""
+    aggregate (tiny result, broadcast into the two-phase bucket rank of
+    operators/sampling.py, which bounds the exact window's input by the
+    contributing md5-prefix buckets instead of the corpus — see
+    q_lang_stratified_sample for why the naive per-lang window dies)."""
+    from neural_locality_sensitive_hashing_spark.operators.sampling import quota_rank
+
     docs = load(spark, sf_dir, "documents")
     quota = docs.groupBy("lang").count().agg(F.min("count").alias("quota"))
-    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
-    ranked = docs.select(
-        "lang", "doc_id", F.row_number().over(w).alias("rk")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(quota))
-        .where(F.col("rk") <= F.col("quota"))
-        .select("lang", "doc_id", "rk")
-    )
+    return quota_rank(docs, quota)
 
 
 SQL_LANG_REBALANCE_SAMPLE = """
@@ -2158,18 +2160,52 @@ FROM s GROUP BY user_id, session_idx
 
 
 def q_lang_token_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-language token-count quartiles (corpus-quality audit):
-    Spark's exact `percentile` (linear interpolation) == DuckDB's
-    quantile_cont — a grouped ordered-aggregate the round-2 inventory
-    lacked."""
+    """Exact per-language token-count quartiles (corpus-quality audit),
+    computed from a (lang, token_count) HISTOGRAM rather than
+    `percentile` over raw rows: `groupBy(lang).agg(percentile(n))` ships
+    every row's value into <=n_lang aggregation buffers — with ~5
+    language values the en buffer alone holds half a web corpus (same
+    skew class as the naive per-lang sampler windows). The histogram
+    groupBy keys on (lang, n) — high cardinality, partial-agg combines
+    map-side — and everything after it (running counts, boundary-value
+    lookups) runs over <= n_lang * distinct-token-counts rows, bounded
+    by max document length, not corpus size.
+
+    Exactness: for sorted values v[0..N-1], quantile_cont(p) =
+    v[r] + frac*(v[r+1]-v[r]) with i=(N-1)p, r=floor(i), frac=i-r;
+    v[k] (0-indexed) == min n whose running count >= k+1 — exact linear
+    interpolation, same contract as Spark `percentile` and DuckDB
+    `quantile_cont` (values are integer token counts, so the arithmetic
+    is exact in double)."""
     docs = load(spark, sf_dir, "documents")
     n = T.token_count(F.col("text")).cast("double")
-    return docs.groupBy("lang").agg(
-        F.round(F.percentile(n, F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile(n, F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile(n, F.lit(0.75)), 4).alias("p75"),
-        F.count("*").alias("n_docs"),
+    hist = docs.groupBy(F.col("lang"), n.alias("n")).agg(
+        F.count("*").alias("c")
     )
+    cum = hist.select(
+        "lang",
+        "n",
+        F.sum("c").over(Window.partitionBy("lang").orderBy("n")).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("tot"),
+    )
+    aggs = [F.max("tot").alias("n_docs")]
+    for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        r = F.floor((F.col("tot") - 1) * F.lit(p))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= r + 1, F.col("n"))).alias(f"_lo_{name}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= r + 2, F.col("n"))).alias(f"_hi_{name}")
+        )
+    res = cum.groupBy("lang").agg(*aggs)
+    out = [F.col("lang")]
+    for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        i = (F.col("n_docs") - 1) * F.lit(p)
+        frac = i - F.floor(i)
+        lo = F.col(f"_lo_{name}")
+        hi = F.coalesce(F.col(f"_hi_{name}"), lo)  # frac==0 at the top rank
+        out.append(F.round(lo + frac * (hi - lo), 4).alias(name))
+    return res.select(*out, F.col("n_docs"))
 
 
 SQL_LANG_TOKEN_QUARTILES = """

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pytest
 
-from tools.plan_audit import audit
+from tools.plan_audit import audit, window_partition_keys
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -41,8 +41,15 @@ PLAN_BOUNDS = {
     # countDistinct expand + final per-doc aggregation
     "benchmark_decontam": 2,
     "gopher_quality_flags": 0,
-    # lang-count agg (partial+final over ~5 rows) + the per-lang window
-    "lang_rebalance_sample": 3,
+    # quota agg (2: partial+final over ~5 rows) + bucket-count agg + the
+    # bounded (lang,bkt) window + offsets window over the counts table
+    "lang_rebalance_sample": 5,
+    # bucket-count agg + the bounded (lang,bkt) window + offsets window
+    "lang_stratified_sample": 3,
+    # (lang, token_count) histogram agg + final per-lang agg over it
+    "lang_token_quartiles": 2,
+    # the one canonical_url window
+    "recrawl_latest": 1,
 }
 
 
@@ -74,3 +81,36 @@ def test_audit_detects_bad_plans(spark):
 
     shuffled = df.repartition(7).repartition(5).groupBy("id").count()
     assert audit(shuffled)["exchanges"] >= 2
+
+
+# Exchange COUNT can't see skew: `Window [lang]` over the raw corpus is
+# "one exchange" yet hashes everything onto n_lang reducer tasks (en alone
+# is ~half a web corpus). This gate pins the window PARTITION KEYS of every
+# windowed headline query to the documented skew-safe shape — reverting a
+# sampler to a naive per-lang corpus window changes the key list and fails
+# here. Key sets below are either high-cardinality over raw input
+# (user_id, canonical_url, md5(text) as _w0, (lang, 256-bucket md5 prefix))
+# or lang-only ONLY over an already-aggregated bounded table (the
+# (lang,bkt) counts table / the (lang, token_count) histogram), as
+# documented in each query's docstring.
+WINDOW_KEYS = {
+    "lang_stratified_sample": [["lang"], ["lang", "bkt"]],
+    "lang_rebalance_sample": [["lang"], ["lang", "bkt"]],
+    "lang_token_quartiles": [["lang"], ["lang"]],
+    "user_sessions": [["user_id"], ["user_id"]],
+    "user_topk_events": [["user_id"]],
+    "recrawl_latest": [["canonical_url"], ["canonical_url"]],
+    "exact_dedup_clusters": [["_w0"]],  # _w0 = md5(text): max cardinality
+}
+
+
+@pytest.mark.parametrize("name,keys", sorted(WINDOW_KEYS.items()))
+def test_window_partition_keys(spark, name, keys):
+    from neural_locality_sensitive_hashing_spark.queries import QUERIES
+
+    got = sorted(window_partition_keys(QUERIES[name](spark, SF_DIR)))
+    assert got == sorted(keys), (
+        f"{name}: window partition keys {got} != documented skew-safe "
+        f"shape {sorted(keys)} — a low-cardinality window over the corpus "
+        f"may have regressed (see operators/sampling.py)"
+    )

@@ -38,6 +38,9 @@ AUDITED = [
     "benchmark_decontam",
     "gopher_quality_flags",
     "lang_rebalance_sample",
+    "lang_stratified_sample",
+    "lang_token_quartiles",
+    "recrawl_latest",
 ]
 
 
@@ -60,6 +63,30 @@ def audit(df) -> dict:
         "scans": sorted(set(scans)),
         "cartesian": "CartesianProduct" in plan,
     }
+
+
+def window_partition_keys(df) -> list[list[str]]:
+    """Partition-key column names of every Window node in the optimized
+    logical plan, outermost-first — the skew surface the exchange COUNT
+    can't see: `Window [lang]` over a raw corpus hashes everything onto
+    n_lang reducer tasks even though it is 'one exchange'. Names have
+    their expr-ids stripped (lang#335 -> lang)."""
+    out: list[list[str]] = []
+
+    def walk(node):
+        if node.nodeName() == "Window":
+            ps = node.partitionSpec()
+            out.append(
+                [
+                    re.sub(r"#\d+L?$", "", ps.apply(i).toString())
+                    for i in range(ps.size())
+                ]
+            )
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
 
 
 def main() -> None:
