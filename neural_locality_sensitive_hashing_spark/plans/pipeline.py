@@ -10,6 +10,11 @@ Stages (each one an idempotent checkpoint table):
                    verifies instead (clear accepts report est-Jaccard,
                    only the uncertainty band gathers full shingle sets)
     clusters     : union-find fixpoint over dup_pairs, singletons included
+    keep_list    : the SHIPPED table — one representative per cluster
+                   (doc_id == cluster_id) + docs-represented count;
+                   derived from the clusters checkpoint, so a resume
+                   after a dropped keep_list restores from clusters
+                   without recomputing pairs or the union-find
 
 Resume semantics (the reference's cache-the-expensive-intermediate pattern,
 ``precompute.py:89-97``, generalized): each stage's fingerprint is a hash of
@@ -69,7 +74,7 @@ class PipelineReport:
 class DedupPipeline:
     """Checkpointed pages -> clusters pipeline."""
 
-    STAGES = ["signatures", "cand_pairs", "dup_pairs", "clusters"]
+    STAGES = ["signatures", "cand_pairs", "dup_pairs", "clusters", "keep_list"]
 
     def __init__(
         self,
@@ -151,6 +156,21 @@ class DedupPipeline:
             return clusters_with_singletons(labels, signatures, "doc_id")
 
         clusters = self._stage("clusters", compute_clusters, report)
+
+        def compute_keep_list() -> DataFrame:
+            # one size aggregate over the CLUSTERS CHECKPOINT — survivors
+            # are the doc_id == cluster_id rows (the union-find labels
+            # clusters by min doc_id), no shuffle of pairs or corpus
+            sizes = clusters.groupBy("cluster_id").agg(
+                F.count("*").alias("n_docs_represented")
+            )
+            return (
+                clusters.where(F.col("doc_id") == F.col("cluster_id"))
+                .join(sizes, "cluster_id")
+                .select("doc_id", "n_docs_represented")
+            )
+
+        self._stage("keep_list", compute_keep_list, report)
 
         # S8 metrics sink: one quality/efficiency row set per run, next to
         # the per-partition lineage (the reference logs recall/query_size/

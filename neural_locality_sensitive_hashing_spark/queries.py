@@ -1766,7 +1766,15 @@ DECON_MOD = 20  # benchmark set = doc_id % DECON_MOD == 0 (~5% pseudo-eval set)
 DECON_MAX_BENCH_ID = 200_000
 
 
-def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+DECON_MAX_BROADCAST_BENCH_DOCS = 1_000_000
+
+
+def q_benchmark_decontam(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast: bool = True,
+    max_broadcast_bench_docs: int = DECON_MAX_BROADCAST_BENCH_DOCS,
+) -> DataFrame:
     """Train/eval contamination check (the GPT-3-style n-gram
     decontamination pass every LLM data pipeline runs): flag corpus
     documents sharing at least one k-token gram with a benchmark set,
@@ -1778,7 +1786,11 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     suites are MBs; the pseudo-benchmark here is capped), so it
     BROADCASTS — the corpus side is a scan + explode probed against a
     broadcast hash table, never shuffled on grams; the only exchange is
-    the final per-doc hit aggregation."""
+    the final per-doc hit aggregation. The broadcast is SIZE-GATED (same
+    loud gate as embedding_dup_pairs_broadcast): a mis-sized "benchmark"
+    past DECON_MAX_BROADCAST_BENCH_DOCS raises instead of silently
+    OOMing the driver, with broadcast=False as the shuffle-gram-join
+    fallback for genuinely large contamination sources."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", T.shingle_set(F.col("text"), DECON_K).alias("sh")
@@ -1791,8 +1803,17 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("g"))
     )
     cg = sh.where(~is_bench).select("doc_id", F.explode("sh").alias("g"))
+    if broadcast:
+        n_bench = docs.where(is_bench).count()
+        if n_bench > max_broadcast_bench_docs:
+            raise ValueError(
+                f"benchmark side has {n_bench} docs > broadcast gate "
+                f"{max_broadcast_bench_docs}; broadcasting would OOM the "
+                "driver — rerun with broadcast=False (shuffle gram join)"
+            )
+        bg = F.broadcast(bg)
     return (
-        cg.join(F.broadcast(bg), "g")
+        cg.join(bg, "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").alias("n_bench_docs"),

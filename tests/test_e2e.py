@@ -101,3 +101,22 @@ def test_determinism_two_runs(spark, corpus):
     p1 = sorted((r.a, r.b) for r in minhash_dup_pairs(pages, CFG).collect())
     p2 = sorted((r.a, r.b) for r in minhash_dup_pairs(pages, CFG).collect())
     assert p1 == p2
+
+
+def test_decontam_broadcast_gate_and_shuffle_fallback(spark):
+    """VERDICT r5 item 4: the benchmark-gram broadcast is size-gated in
+    the style of embedding_dup_pairs_broadcast — a mis-sized 'benchmark'
+    raises loudly instead of OOMing the driver, and the broadcast=False
+    shuffle-gram-join fallback computes identical hits."""
+    import pytest
+    from neural_locality_sensitive_hashing_spark.queries import q_benchmark_decontam
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="broadcast=False"):
+        q_benchmark_decontam(spark, sf, max_broadcast_bench_docs=3)
+
+    fast = {tuple(r) for r in q_benchmark_decontam(spark, sf).collect()}
+    slow = {
+        tuple(r) for r in q_benchmark_decontam(spark, sf, broadcast=False).collect()
+    }
+    assert fast and fast == slow
