@@ -66,6 +66,11 @@ HEADLINE = [
     "benchmark_decontam",
     "gopher_quality_flags",
     "lang_rebalance_sample",
+    "recrawl_latest",
+    "recrawl_stats",
+    "crawl_host_stats",
+    "pii_scrub",
+    "boilerplate_shingles",
 ]
 
 WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))

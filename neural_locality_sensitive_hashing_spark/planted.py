@@ -32,6 +32,7 @@ N_PLANTED_DOCS = 5  # copies of the 5 lowest doc_ids
 N_PLANTED_VECS = 4  # near-copies of the 4 lowest vec_ids
 VEC_SHIFT = 0.05  # element-0 shift: cosine ≈ 0.9988 on the driver embeddings
 N_CRAWL_BASE = 30  # base docs fanned out into recrawl URL variants
+N_PII_DOCS = 25  # base docs suffixed with synthetic emails/IPv4s
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -67,6 +68,10 @@ def planted_embeddings_path(sf_dir: str) -> str:
 
 def planted_crawls_path(sf_dir: str) -> str:
     return os.path.join(planted_dir(sf_dir), "planted_crawls.parquet")
+
+
+def planted_pii_path(sf_dir: str) -> str:
+    return os.path.join(planted_dir(sf_dir), "planted_pii.parquet")
 
 
 def _write_once(sql: str, dest: str) -> None:
@@ -125,6 +130,39 @@ def ensure_planted(sf_dir: str) -> tuple[str, str]:
     )
     _mark_and_prune(sf_dir)
     return docs_dest, emb_dest
+
+
+def ensure_planted_pii(sf_dir: str) -> str:
+    """Idempotently materialize the planted PII table: N_PII_DOCS corpus
+    docs (ids offset +20_000_000) whose text is suffixed with one
+    deterministic synthetic email and one private-range IPv4 — the
+    synthetic driver corpus contains neither, which would make a PII
+    scrubbing oracle vacuous (every count 0, every redaction the
+    identity). Two of the rows carry a SECOND email so per-doc counts
+    exercise >1."""
+    docs_src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(docs_src):
+        raise FileNotFoundError(docs_src)
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        raise FileNotFoundError(os.path.join(sf_dir, "embeddings.parquet"))
+    dest = planted_pii_path(sf_dir)
+    _write_once(
+        f"""
+        SELECT doc_id + 20000000 AS doc_id,
+               text || ' contact user' || doc_id || '@mail'
+                    || (doc_id % 3) || '.org'
+                    || CASE WHEN doc_id < 2
+                            THEN ' cc admin' || doc_id || '@ops.example.net'
+                            ELSE '' END
+                    || ' from 10.0.' || (doc_id % 200) || '.'
+                    || (doc_id % 250) AS text
+        FROM read_parquet('{docs_src}')
+        WHERE doc_id < {N_PII_DOCS}
+        """,
+        dest,
+    )
+    _mark_and_prune(sf_dir)
+    return dest
 
 
 def _mark_and_prune(sf_dir: str) -> None:

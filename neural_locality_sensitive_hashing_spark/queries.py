@@ -232,6 +232,42 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
 """
 
 
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-doc boilerplate fraction: the share of a doc's
+    distinct 5-gram shingles that appear in MORE THAN ONE document —
+    the CCNet/C4-style paragraph/n-gram duplication signal used to strip
+    navigation chrome and templated text before training. 100 TB shape:
+    explode + groupBy(shingle) is a high-cardinality partial-agg (no hot
+    key — a shingle shared by k docs carries k rows, and winnowing/
+    long-repeat handles pathological megadup strings upstream); the
+    join-back reuses the aggregate's hash partitioning on g, then one
+    per-doc aggregation. No window, no low-cardinality exchange."""
+    sh = _spark_shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    gd = ex.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        ex.join(gd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.avg((F.col("nd") > 1).cast("double")), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+SQL_BOILERPLATE_SHINGLES = f"""
+WITH {_SQL_SHINGLES},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM ex GROUP BY g)
+SELECT ex.doc_id, count(*) AS n_shingles,
+       round(avg(CASE WHEN gd.nd > 1 THEN 1.0 ELSE 0.0 END), 6) AS shared_frac
+FROM ex JOIN gd USING (g)
+GROUP BY ex.doc_id
+"""
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full LSH engine pipeline. Oracle = exact Jaccard >= τ: with 32x4
     banding the per-pair miss probability at j=0.70 is ~1.5e-4, so at test
@@ -411,6 +447,94 @@ def _sql_recrawl_stats(sf_dir: str = "/root/testdata/sf0.01") -> str:
 WITH {_sql_canonical_crawls(sf_dir)}
 SELECT canonical_url, count(*) AS n_crawls
 FROM canon GROUP BY canonical_url HAVING count(*) > 1
+"""
+
+
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/?#]*)"
+
+
+def q_crawl_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl pressure over the planted crawls table: raw crawl
+    rows and distinct canonical pages per host — the audit a crawler's
+    politeness/budget logic reads. Schemeless fallback URLs group under
+    host '' (regexp_extract returns '' on no match in BOTH engines).
+    One exchange (the host aggregate); countDistinct adds its expand
+    within the same key space."""
+    from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+        canonical_url,
+    )
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
+
+    crawls = spark.read.parquet(ensure_planted_crawls(sf_dir))
+    canon = crawls.select(canonical_url(F.col("url")).alias("cu"))
+    return (
+        canon.select(F.regexp_extract("cu", _HOST_RE, 1).alias("host"), "cu")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_crawls"),
+            F.countDistinct("cu").alias("n_pages"),
+        )
+    )
+
+
+def _sql_crawl_host_stats(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+WITH {_sql_canonical_crawls(sf_dir)}
+SELECT regexp_extract(canonical_url, '{_HOST_RE}', 1) AS host,
+       count(*) AS n_crawls,
+       count(DISTINCT canonical_url) AS n_pages
+FROM canon GROUP BY host
+"""
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IPv4 redaction (functions/pii.py) over documents ∪ the
+    planted_pii table (the synthetic corpus carries no PII, which would
+    make this oracle vacuous — planted.py suffixes 25 derived docs with
+    deterministic emails/IPv4s, two of them with a second email). Emits
+    per-doc match counts and the md5 of the REDACTED text, so the
+    hash-compare pins every replaced byte without shipping full texts
+    through the driver compare. Zero exchanges: scan-local regex chains
+    in whole-stage codegen."""
+    from neural_locality_sensitive_hashing_spark.functions import pii
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_pii
+
+    pii_path = ensure_planted_pii(sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    alld = docs.unionByName(spark.read.parquet(pii_path))
+    return alld.select(
+        "doc_id",
+        pii.email_count(F.col("text")).alias("n_emails"),
+        pii.ipv4_count(F.col("text")).alias("n_ipv4"),
+        F.md5(pii.scrub(F.col("text"))).alias("clean_md5"),
+    )
+
+
+def _sql_pii_scrub(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from neural_locality_sensitive_hashing_spark.functions.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+    )
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_pii
+
+    pii_path = ensure_planted_pii(sf_dir)
+    return f"""
+WITH alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM read_parquet('{pii_path}')
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+                          '{IPV4_RE}', '{IPV4_TOKEN}', 'g')) AS clean_md5
+FROM alld
 """
 
 
@@ -1804,12 +1928,14 @@ def q_benchmark_decontam(
     )
     cg = sh.where(~is_bench).select("doc_id", F.explode("sh").alias("g"))
     if broadcast:
-        n_bench = docs.where(is_bench).count()
+        # limit(max+1) lets the scan stop as soon as the gate is decided —
+        # the gate must not itself cost a full corpus pass at 100 TB
+        n_bench = docs.where(is_bench).limit(max_broadcast_bench_docs + 1).count()
         if n_bench > max_broadcast_bench_docs:
             raise ValueError(
-                f"benchmark side has {n_bench} docs > broadcast gate "
-                f"{max_broadcast_bench_docs}; broadcasting would OOM the "
-                "driver — rerun with broadcast=False (shuffle gram join)"
+                f"benchmark side exceeds the {max_broadcast_bench_docs}-doc "
+                "broadcast gate; broadcasting would OOM the driver — rerun "
+                "with broadcast=False (shuffle gram join)"
             )
         bg = F.broadcast(bg)
     return (
@@ -2266,6 +2392,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_list": q_dedup_keep_list,
     "recrawl_latest": q_recrawl_latest,
     "recrawl_stats": q_recrawl_stats,
+    "crawl_host_stats": q_crawl_host_stats,
+    "pii_scrub": q_pii_scrub,
+    "boilerplate_shingles": q_boilerplate_shingles,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "long_repeat_pairs": q_long_repeat_pairs,
     "longrepeat_winnowed_pairs": q_longrepeat_winnowed_pairs,
@@ -2310,6 +2439,7 @@ ORACLES: dict[str, str] = {
     "benchmark_decontam": SQL_BENCHMARK_DECONTAM,
     "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
     "lang_rebalance_sample": SQL_LANG_REBALANCE_SAMPLE,
+    "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
@@ -2359,6 +2489,8 @@ def get_oracles() -> dict[str, str]:
         ("embedding_dup_pairs_hi", _sql_embedding_dup_pairs_hi),
         ("recrawl_latest", _sql_recrawl_latest),
         ("recrawl_stats", _sql_recrawl_stats),
+        ("crawl_host_stats", _sql_crawl_host_stats),
+        ("pii_scrub", _sql_pii_scrub),
     ]:
         try:
             out[name] = gen()

@@ -50,6 +50,11 @@ PLAN_BOUNDS = {
     "lang_token_quartiles": 2,
     # the one canonical_url window
     "recrawl_latest": 1,
+    # scan-local regexp chains over the union of two scans
+    "pii_scrub": 0,
+    # shingle-count agg + join-back (reuses the agg partitioning) +
+    # per-doc aggregation
+    "boilerplate_shingles": 3,
 }
 
 

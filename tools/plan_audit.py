@@ -41,6 +41,8 @@ AUDITED = [
     "lang_stratified_sample",
     "lang_token_quartiles",
     "recrawl_latest",
+    "pii_scrub",
+    "boilerplate_shingles",
 ]
 
 
