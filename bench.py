@@ -71,6 +71,7 @@ HEADLINE = [
     "crawl_host_stats",
     "pii_scrub",
     "boilerplate_shingles",
+    "bpe_token_stats",
 ]
 
 WEBTEXT_DOCS = int(os.environ.get("BENCH_WEBTEXT_DOCS", "50000"))

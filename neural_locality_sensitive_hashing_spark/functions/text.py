@@ -119,6 +119,28 @@ def token_count(text_col: Column) -> Column:
     return F.size(tokens(text_col))
 
 
+# GPT-2-style pre-tokenization pattern, restricted to the subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# contraction pieces, optionally-space-prefixed letter runs, digit runs,
+# and punctuation runs — no lookaround (the original's `\s+(?!\S)` is
+# dropped; whitespace between matches is simply skipped, which leaves the
+# TOKEN count identical). Alternation order matters (leftmost-first in
+# both engines) and is kept exactly as GPT-2's.
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """Subword-budget proxy: the number of GPT-2-style pre-tokens —
+    the standard way pipelines estimate a corpus' token budget before
+    running the real (vocab-dependent) tokenizer. Pure native Catalyst."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 # tiny per-language stopword seeds for the n-gram/stopword language heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],

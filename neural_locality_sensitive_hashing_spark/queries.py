@@ -1682,6 +1682,45 @@ STRATA_QUOTA = 5
 KMV_K = 64
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token budget under BOTH counting contracts: whitespace
+    words and GPT-2-style BPE pre-tokens (functions/text.py::BPE_TOKEN_RE
+    — the vocabulary-independent subword-budget proxy every pretraining
+    data plan is sized with), plus their ratio. Zero exchanges — two
+    native regex kernels over the scan."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = T.bpe_token_count(F.col("text"))
+    ws = T.token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(
+            bpe.cast("double") / F.nullif(ws.cast("double"), F.lit(0.0)), 6
+        ).alias("bpe_per_word"),
+    )
+
+
+def _sql_bpe_token_stats() -> str:
+    from neural_locality_sensitive_hashing_spark.functions.text import BPE_TOKEN_RE
+
+    bpe_sql = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{bpe_sql}')) AS n_bpe_tokens,
+         len({_SQL_TOKS}) AS n_ws_tokens
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       round(n_bpe_tokens * 1.0 / nullif(n_ws_tokens, 0), 6) AS bpe_per_word
+FROM t
+"""
+
+
+SQL_BPE_TOKEN_STATS = _sql_bpe_token_stats()
+
+
 def q_doc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash Bernoulli sample (R2/R5, SURVEY §2.9, as
     an ENGINE op rather than trainer-side): keep a doc iff its md5-uniform
@@ -2380,6 +2419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "lang_token_quartiles": q_lang_token_quartiles,
     "doc_sample_hash": q_doc_sample_hash,
+    "bpe_token_stats": q_bpe_token_stats,
     "lang_stratified_sample": q_lang_stratified_sample,
     "distinct_texts_kmv": q_distinct_texts_kmv,
     "doc_repetition": q_doc_repetition,
@@ -2432,6 +2472,7 @@ ORACLES: dict[str, str] = {
     "user_sessions": SQL_USER_SESSIONS,
     "lang_token_quartiles": SQL_LANG_TOKEN_QUARTILES,
     "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "lang_stratified_sample": SQL_LANG_STRATIFIED_SAMPLE,
     "distinct_texts_kmv": SQL_DISTINCT_TEXTS_KMV,
     "doc_repetition": SQL_DOC_REPETITION,

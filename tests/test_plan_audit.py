@@ -52,6 +52,8 @@ PLAN_BOUNDS = {
     "recrawl_latest": 1,
     # scan-local regexp chains over the union of two scans
     "pii_scrub": 0,
+    # two regex kernels over the scan
+    "bpe_token_stats": 0,
     # shingle-count agg + join-back (reuses the agg partitioning) +
     # per-doc aggregation
     "boilerplate_shingles": 3,

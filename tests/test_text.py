@@ -95,3 +95,28 @@ def test_fingerprint_whitespace_normalized(spark):
         (T.fingerprint(F.col("t1")) == T.fingerprint(F.col("t2"))).alias("eq")
     ).first()
     assert r.eq
+
+
+def test_bpe_token_count_literals(spark):
+    """GPT-2-style pre-token counting: contractions split, punctuation
+    runs collapse, space-prefixed letter/digit runs are single tokens —
+    identical leftmost-first semantics to the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.functions import text as T
+
+    rows = [
+        (0, "don't stop"),          # don + 't + stop
+        (1, "hello,   world!!"),    # hello + , + world + !!
+        (2, "v2 cost 1299 usd"),    # v + 2 + cost + 1299 + usd
+        (3, ""),                    # empty -> 0
+        (4, "we'll we've we'd"),    # 3 words + 3 contraction pieces
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", T.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {0: 3, 1: 4, 2: 5, 3: 0, 4: 6}

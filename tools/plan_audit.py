@@ -43,6 +43,7 @@ AUDITED = [
     "recrawl_latest",
     "pii_scrub",
     "boilerplate_shingles",
+    "bpe_token_stats",
 ]
 
 
