@@ -244,7 +244,10 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation. No window, no low-cardinality exchange."""
     sh = _spark_shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("sh").alias("g"))
-    gd = ex.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    # shingle_set is per-doc DISTINCT, so ex is unique per (doc_id, g) and
+    # count(*) == countDistinct(doc_id) — without the distinct-agg expand
+    # (the oracle spells count(DISTINCT doc_id); same values)
+    gd = ex.groupBy("g").agg(F.count("*").alias("nd"))
     return (
         ex.join(gd, "g")
         .groupBy("doc_id")

@@ -88,6 +88,14 @@ def main() -> None:
         "report's stages carry cached/rows per stage",
     )
     ap.add_argument(
+        "--keep-list-out", default=None,
+        help="write the keep-list (one representative doc per near-dup "
+        "cluster + n_docs_represented — the table a training pipeline "
+        "ships) as parquet to this path; in --checkpoint-dir mode it is "
+        "re-exported from the keep_list snapshot stage, otherwise "
+        "computed from the in-memory clusters",
+    )
+    ap.add_argument(
         "--recrawl-dedup", action="store_true",
         help="pre-stage: canonicalize URLs and keep only the newest crawl "
         "per canonical URL (operators/recrawl.py) before content dedup — "
@@ -190,6 +198,10 @@ def main() -> None:
             "clusters": n_clusters,
             "resumed_stages": sorted(rep.cached_stages()),
         }
+        if args.keep_list_out:
+            kl = pipe.catalog.read_snapshot("keep_list")
+            kl.write.mode("overwrite").parquet(args.keep_list_out)
+            report["keep_list_out"] = args.keep_list_out
         line = json.dumps(report)
         print(line)
         if args.json_out:
@@ -259,6 +271,20 @@ def main() -> None:
         "dup_pairs": n_dups,
         "clusters": n_clusters,
     }
+    if args.keep_list_out:
+        from pyspark.sql import functions as F
+
+        sizes = clusters.groupBy("cluster_id").agg(
+            F.count("*").alias("n_docs_represented")
+        )
+        (
+            clusters.where(F.col("doc_id") == F.col("cluster_id"))
+            .join(sizes, "cluster_id")
+            .select("doc_id", "n_docs_represented")
+            .write.mode("overwrite")
+            .parquet(args.keep_list_out)
+        )
+        report["keep_list_out"] = args.keep_list_out
     line = json.dumps(report)
     print(line)
     if args.json_out:
