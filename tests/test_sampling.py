@@ -187,3 +187,58 @@ def test_quartiles_histogram_is_bounded(spark, qmod):
     max_n = docs.select(F.max(n).alias("m")).first()["m"]
     assert n_hist <= n_lang * (max_n + 1)
     assert n_hist < docs.count()
+
+
+def test_histogram_quartiles_match_spark_percentile(spark, qmod):
+    """The histogram-based exact quantile (lang_token_quartiles' kernel)
+    must equal Spark's own `percentile` aggregate on adversarial small
+    groups: single-row and two-row groups, heavy ties, frac boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    rows = []
+    # group 'a': 1 row; 'b': 2 rows; 'c': all ties; 'd'/'e': random with ties
+    rows.append(("a", 7))
+    rows += [("b", 3), ("b", 10)]
+    rows += [("c", 5)] * 9
+    rows += [("d", rng.randint(0, 12)) for _ in range(37)]
+    rows += [("e", rng.randint(0, 5)) for _ in range(101)]
+    df = spark.createDataFrame(rows, "lang string, n long")
+    nd = F.col("n").cast("double")
+    want = {
+        r.lang: (r.p25, r.p50, r.p75)
+        for r in df.groupBy("lang")
+        .agg(
+            F.round(F.percentile(nd, F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile(nd, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(nd, F.lit(0.75)), 4).alias("p75"),
+        )
+        .collect()
+    }
+
+    from pyspark.sql import Window
+
+    hist = df.groupBy(F.col("lang"), nd.alias("n")).agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "lang",
+        "n",
+        F.sum("c").over(Window.partitionBy("lang").orderBy("n")).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("tot"),
+    )
+    aggs = [F.max("tot").alias("n_docs")]
+    for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        r = F.floor((F.col("tot") - 1) * F.lit(p))
+        aggs.append(F.min(F.when(F.col("cum") >= r + 1, F.col("n"))).alias(f"_lo_{name}"))
+        aggs.append(F.min(F.when(F.col("cum") >= r + 2, F.col("n"))).alias(f"_hi_{name}"))
+    res = cum.groupBy("lang").agg(*aggs)
+    out_cols = [F.col("lang")]
+    for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        i = (F.col("n_docs") - 1) * F.lit(p)
+        frac = i - F.floor(i)
+        lo = F.col(f"_lo_{name}")
+        hi = F.coalesce(F.col(f"_hi_{name}"), lo)
+        out_cols.append(F.round(lo + frac * (hi - lo), 4).alias(name))
+    got = {r.lang: (r.p25, r.p50, r.p75) for r in res.select(*out_cols).collect()}
+    assert got == want

@@ -229,3 +229,18 @@ def test_session_sums_bitstable_across_batch_splits(spark, tmp_path):
     for k, v in a.items():
         if k in exact:  # closed sessions (open ones stay in state)
             assert repr(v) == repr(exact[k]), (k, v, exact[k])
+
+
+def test_micro_unit_rounding_half_away_from_zero():
+    """The exact half-microunit boundary (0.0000005) must round AWAY from
+    zero like the batch decimal(18,6) cast — Python round() is banker's
+    and would send it to 0."""
+    from neural_locality_sensitive_hashing_spark.streaming.sessionize import _micro
+
+    assert _micro(0.0000005) == 1
+    assert _micro(-0.0000005) == -1
+    assert _micro(1.0000005) == 1000001
+    assert _micro(2.5e-6) == 3  # 2.5 micro-units -> 3 (half away)
+    assert _micro(-2.5e-6) == -3
+    assert _micro(0.0) == 0
+    assert _micro(1.25) == 1250000
