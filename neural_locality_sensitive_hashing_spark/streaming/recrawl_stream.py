@@ -29,6 +29,13 @@ as a no-op — counts never double, winners never regress — which also
 heals a crash that landed only SOME partition directories (rows in
 written partitions skip, rows in unwritten partitions apply).
 
+The store is an ID TABLE (canonical_url → winning crawl_id/url/warc_ts +
+count), not a payload table: html/text stay in the append-only crawl log
+and are gathered by crawl_id when the content-dedup tier runs — the same
+ids-only-shuffle/gather-late philosophy as every ANN path in this repo
+(rewriting payloads on every upsert would turn each micro-batch into a
+corpus-payload write).
+
 Scale note: at 10^12 URLs the store is the crawl frontier's index table;
 the same layout maps to an Iceberg table bucket-partitioned by
 canonical_url where step 4 is a real MERGE INTO. ``localCheckpoint``
