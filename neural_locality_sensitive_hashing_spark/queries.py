@@ -453,6 +453,41 @@ FROM canon GROUP BY canonical_url HAVING count(*) > 1
 """
 
 
+def q_recrawl_latest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING recrawl tier in the value-check lane: drain the
+    planted crawls table through streaming/recrawl_stream.py's
+    foreachBatch upsert in three micro-batches (split by crawl_id % 3 —
+    deterministic, order-scrambling: a group's winner can arrive before
+    its losers) and return the final store. Must produce byte-identical
+    (crawl_id, canonical_url, n_crawls) to the one-shot batch window —
+    the oracle is EXACTLY recrawl_latest's DuckDB SQL, so the driver's
+    hash compare certifies incremental == batch == oracle. Fresh
+    per-call store under a tmpdir (the stream state is the unit under
+    test, not a cache)."""
+    import shutil
+    import tempfile
+
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
+    from neural_locality_sensitive_hashing_spark.streaming.recrawl_stream import (
+        IncrementalRecrawl,
+    )
+
+    crawls = spark.read.parquet(ensure_planted_crawls(sf_dir))
+    state = tempfile.mkdtemp(prefix="nlsh_recrawl_inc_")
+    try:
+        sink = IncrementalRecrawl(spark, state, id_col="crawl_id")
+        for i in range(3):
+            sink.process_batch(crawls.where(F.col("crawl_id") % 3 == i), i)
+        out = sink.latest_crawls().select(
+            "crawl_id", "canonical_url", "n_crawls"
+        )
+        # materialize before the tmp store is deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 _HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/?#]*)"
 
 
@@ -2434,6 +2469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "recrawl_latest": q_recrawl_latest,
+    "recrawl_latest_incremental": q_recrawl_latest_incremental,
     "recrawl_stats": q_recrawl_stats,
     "crawl_host_stats": q_crawl_host_stats,
     "pii_scrub": q_pii_scrub,
@@ -2532,6 +2568,7 @@ def get_oracles() -> dict[str, str]:
         ("exact_dup_pairs", _sql_exact_dup_pairs),
         ("embedding_dup_pairs_hi", _sql_embedding_dup_pairs_hi),
         ("recrawl_latest", _sql_recrawl_latest),
+        ("recrawl_latest_incremental", _sql_recrawl_latest),
         ("recrawl_stats", _sql_recrawl_stats),
         ("crawl_host_stats", _sql_crawl_host_stats),
         ("pii_scrub", _sql_pii_scrub),
