@@ -120,12 +120,21 @@ def token_count(text_col: Column) -> Column:
 
 
 # GPT-2-style pre-tokenization pattern, restricted to the subset with
-# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# matching semantics in Java regex (Spark) and RE2 (DuckDB oracle):
 # contraction pieces, optionally-space-prefixed letter runs, digit runs,
-# and punctuation runs — no lookaround (the original's `\s+(?!\S)` is
-# dropped; whitespace between matches is simply skipped, which leaves the
-# TOKEN count identical). Alternation order matters (leftmost-first in
-# both engines) and is kept exactly as GPT-2's.
+# and punctuation runs — no lookaround. Two deliberate deviations from
+# GPT-2's count: (1) the original's `\s+(?!\S)`/`\s+` alternatives are
+# dropped, so runs of 2+ whitespace (which GPT-2 emits as standalone
+# whitespace tokens) contribute nothing here — the count is identical to
+# GPT-2's only for single-spaced text, and is a budget PROXY (stable,
+# cheap) elsewhere; (2) `\s` itself differs at the margins between the
+# engines — Java's \s includes \x0B (vertical tab), RE2's does not — so
+# inside `[^\s\p{L}\p{N}]` a \x0B is skipped by Spark but matched into a
+# punctuation run by DuckDB, and text containing vertical tabs would
+# count differently across the two; the driver corpus contains none, and
+# real pipelines strip control characters upstream of tokenization.
+# Alternation order matters (leftmost-first in both engines) and is kept
+# exactly as GPT-2's.
 BPE_TOKEN_RE = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?\p{L}+"

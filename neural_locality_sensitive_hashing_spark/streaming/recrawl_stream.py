@@ -21,13 +21,19 @@ Per batch (bounded by BATCH size, never store size):
        the per-batch write is Iceberg ``MERGE INTO`` semantics done with
        plain parquet).
 
-Exactly-once without a transaction log: foreachBatch is at-least-once, so
-every row carries ``last_batch_id``. A replayed batch (restart between
-the partition write and the stream checkpoint commit) finds
-``last_batch_id == batch_id`` on rows it already updated and re-applies
-as a no-op — counts never double, winners never regress — which also
-heals a crash that landed only SOME partition directories (rows in
-written partitions skip, rows in unwritten partitions apply).
+At-least-once with idempotent replay at PARTITION-DIRECTORY granularity:
+foreachBatch is at-least-once, so every row carries ``last_batch_id``. A
+replayed batch (restart between the partition write and the stream
+checkpoint commit) finds ``last_batch_id == batch_id`` on rows it already
+updated and re-applies as a no-op — counts never double, winners never
+regress — which also heals a crash that landed only SOME partition
+directories (rows in cleanly written partitions skip, rows in unwritten
+partitions apply). The guard does NOT cover a crash INSIDE one
+directory's dynamic-overwrite commit (old files removed, new files not
+yet moved): that window loses the directory's rows, and closing it needs
+an atomic table commit — exactly the Iceberg MERGE INTO in the scale
+note below, whose snapshot commit makes the per-directory swap
+transactional.
 
 The store is an ID TABLE (canonical_url → winning crawl_id/url/warc_ts +
 count), not a payload table: html/text stay in the append-only crawl log
@@ -121,6 +127,14 @@ class IncrementalRecrawl:
     def process_batch(self, pages: DataFrame, batch_id: int) -> None:
         b = self._reduce_batch(pages, batch_id).persist()
         pfx_values = [r[0] for r in b.select("pfx").distinct().collect()]
+        if not pfx_values:
+            # empty micro-batch (file sources can deliver a zero-row file):
+            # a dynamic overwrite of an empty frame on a FRESH store would
+            # create the store dir with only _SUCCESS and no parquet files,
+            # making every later read fail with unable-to-infer-schema —
+            # and on an existing store it is a no-op anyway. Skip it.
+            b.unpersist()
+            return
         old = self._read_touched(pfx_values)
         if old is None:
             merged = b.select(

@@ -29,8 +29,8 @@ per user stays in state, as before.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -47,33 +47,46 @@ SESSION_SCHEMA = (
 # contract, where float64 accumulation could flip the last ulp at the
 # round(4) boundary depending on shuffle order.
 #
-# CHECKPOINT COMPATIBILITY (deliberate break): `s` changed double->bigint
-# with the micro-unit semantics. A stream checkpointed under the old
-# float-state schema CANNOT resume on this version — Spark's state-schema
+# CHECKPOINT COMPATIBILITY (deliberate breaks): `s` changed double->bigint
+# with the micro-unit semantics, and `start`/`last` later changed
+# double (epoch seconds) -> bigint (epoch MICROSECONDS): float64 epoch
+# seconds have an ulp of ~0.24 us at 2024 epochs, so a microsecond-
+# granularity event time round-tripped through float could emit a
+# session_start/end one microsecond off the batch query's min/max(ts) —
+# fatal for the exact-equality oracle lane. A stream checkpointed under
+# an old state schema CANNOT resume on this version — Spark's state-schema
 # check (spark.sql.streaming.stateStore.stateSchemaCheck, default on)
 # rejects it LOUDLY with StateSchemaNotCompatible. That is the intended
-# behavior: the old state holds float VALUE sums, so any silent
-# reinterpretation as micro-units would corrupt every open session's sum.
-# Restart such streams from a fresh checkpoint (the parquet-store dedup
-# state is unaffected; only the in-flight open-session operator state is
-# dropped, and closed sessions were already emitted downstream).
-STATE_SCHEMA = "start double, last double, n bigint, s bigint"
+# behavior: silent reinterpretation of old float state would corrupt every
+# open session. Restart such streams from a fresh checkpoint (the
+# parquet-store dedup state is unaffected; only the in-flight open-session
+# operator state is dropped, and closed sessions were already emitted
+# downstream).
+STATE_SCHEMA = "start bigint, last bigint, n bigint, s bigint"
 _COLS = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
 
 
 def _micro(v: float) -> int:
-    """value -> integer micro-units with HALF-AWAY-FROM-ZERO rounding —
-    the same tie rule as the batch query's decimal(18,6) cast. Python's
-    round() is banker's (half-to-even), so a value landing exactly on a
-    half-microunit (e.g. 0.0000005) would convert differently there and
-    the streamed sum could diverge from the batch sum by 1e-6 pre-round(4)."""
-    return int(math.floor(abs(v) * 1e6 + 0.5)) * (-1 if v < 0 else 1)
+    """value -> integer micro-units, reproducing the batch query's
+    double -> decimal(18,6) cast EXACTLY: Spark (like DuckDB) parses the
+    double's SHORTEST decimal representation (Python ``repr`` == Java
+    ``Double.toString`` up to format) and scales with HALF_UP
+    (= half away from zero). Doing float arithmetic here instead
+    (``floor(abs(v)*1e6 + 0.5)``) diverges on 7-fractional-digit values
+    whose double sits just below the decimal tie — e.g. 0.1234565 reprs
+    as '0.1234565' so the cast yields 123457, while the double itself is
+    0.12345649999... and floors to 123456."""
+    return int(
+        Decimal(repr(v)).scaleb(6).to_integral_value(rounding=ROUND_HALF_UP)
+    )
 
 
 def _emit(rows: list[tuple]) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=_COLS)
-    out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
-    out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+    # session_start/session_end arrive as int64 epoch microseconds —
+    # exact; no float in the timestamp path
+    out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+    out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
     # micro-units -> value, rounded to the contract's 4 decimals
     out["sum_value"] = (out["sum_value"] / 1e6).round(4)
     return out
@@ -104,21 +117,29 @@ def make_sessionizer(gap_sec: int = 1800, event_time_timeout: bool = False):
             last = n = s = None
         closed: list[tuple] = []
         for ts, value in zip(rows["ts"], rows["value"]):
-            t = ts.timestamp()
+            t = ts.value // 1000  # pandas ns ticks -> exact epoch micros
+            # the gap is measured on SECOND-TRUNCATED event times — the
+            # batch query's contract (`unix_timestamp` in Spark and
+            # `date_diff('second', ...)` in the oracle both truncate to
+            # the second), so two events 1800.4 wall-seconds apart that
+            # straddle <= 1800 whole-second boundaries stay in ONE
+            # session in both tiers. Emitted start/end keep full micros.
             if start is None:
                 start, last, n, s = t, t, 0, 0
-            elif t - last > gap_sec:
+            elif t // 1_000_000 - last // 1_000_000 > gap_sec:
                 closed.append((user_id, start, last, n, s))
                 start, last, n, s = t, t, 0, 0
             n += 1
             s += _micro(float(value))
             last = max(last, t)
-        state.update((float(start), float(last), int(n), int(s)))
+        state.update((int(start), int(last), int(n), int(s)))
         if event_time_timeout:
-            # fire once the watermark passes the gap horizon; Spark rejects
-            # timestamps at-or-before the current watermark, so clamp just
-            # above it (the session is then flushed on the next trigger).
-            horizon_ms = int((last + gap_sec) * 1000) + 1
+            # fire once the watermark can no longer admit an extending
+            # event: extension requires floor_sec(T) <= floor_sec(last)
+            # + gap, i.e. T < (floor_sec(last) + gap + 1) seconds. Spark
+            # rejects timestamps at-or-before the current watermark, so
+            # clamp just above it (flushed on the next trigger then).
+            horizon_ms = (last // 1_000_000 + gap_sec + 1) * 1000
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
         if closed:

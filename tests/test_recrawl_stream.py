@@ -111,3 +111,19 @@ def test_streaming_driver_matches_batch(spark, tmp_path):
         for r in sink.latest_crawls().collect()
     }
     assert got == _batch_truth(spark)
+
+
+def test_empty_first_batch_is_skipped(spark, tmp_path):
+    """A zero-row micro-batch on a FRESH store must not create a
+    parquet-less store directory (which would fail every later read with
+    unable-to-infer-schema); on an existing store it must be a no-op."""
+    crawls = _crawls(spark)
+    sink = IncrementalRecrawl(spark, str(tmp_path), id_col="crawl_id")
+    empty = crawls.where(F.lit(False))
+    sink.process_batch(empty, 0)  # fresh store: must not write _SUCCESS-only dir
+    assert not os.path.exists(sink.store)
+    sink.process_batch(crawls, 1)
+    before = _store_set(sink)
+    assert before == _batch_truth(spark)
+    sink.process_batch(empty, 2)  # existing store: no-op
+    assert _store_set(sink) == before

@@ -244,3 +244,19 @@ def test_micro_unit_rounding_half_away_from_zero():
     assert _micro(-2.5e-6) == -3
     assert _micro(0.0) == 0
     assert _micro(1.25) == 1250000
+
+
+def test_micro_matches_spark_decimal_cast_shortest_repr():
+    """_micro must reproduce Spark's double->decimal(18,6) cast, which
+    rounds the double's SHORTEST decimal representation HALF_UP — not the
+    double's exact binary value. 0.1234565's double sits just BELOW the
+    decimal tie (0.12345649999...), so float arithmetic floors to 123456
+    while the cast (and _micro) must yield 123457."""
+    from neural_locality_sensitive_hashing_spark.streaming.sessionize import _micro
+
+    assert _micro(0.1234565) == 123457
+    assert _micro(-0.1234565) == -123457
+    # and a value whose double sits just ABOVE its 7-digit literal's tie
+    # still rounds by its shortest repr, not the literal
+    assert _micro(0.1234575) == 123458  # repr '0.1234575' -> HALF_UP
+    assert _micro(1e-7) == 0  # repr '1e-07' -> 0.1 micro-units -> 0
