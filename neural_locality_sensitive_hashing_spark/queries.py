@@ -350,6 +350,43 @@ GROUP BY cluster_id
 """
 
 
+def q_minhash_dedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING content-dedup tier in the value-check lane (the
+    pattern recrawl_latest_incremental proved): drain the corpus through
+    streaming/incremental.py's band-store / two-sided-join path in three
+    deterministic micro-batches (split by doc_id % 3 — order-scrambling:
+    a dup pair's two ends usually arrive in different batches, so most
+    pairs are found via the new×old band-store probe, not the in-batch
+    self-join) and return the accumulated dup-pair store. The oracle is
+    EXACTLY the batch tier's SQL (exact Jaccard >= tau), so the driver's
+    hash compare certifies incremental == batch == oracle — the
+    amortized build-once-probe-many index of the reference
+    (nlsh/indexer.py:34-38) re-expressed as persistent band/signature
+    stores. Fresh per-call store under a tmpdir (the stream state is the
+    unit under test, not a cache)."""
+    import shutil
+    import tempfile
+
+    from neural_locality_sensitive_hashing_spark.streaming.incremental import (
+        IncrementalDeduper,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="nlsh_dedup_inc_")
+    try:
+        dedup = IncrementalDeduper(spark, CFG, state)
+        for i in range(3):
+            dedup.process_batch(docs.where(F.col("doc_id") % 3 == i), i)
+        out = dedup.dup_pairs().select(
+            "a", "b", F.round("jaccard", 6).alias("jaccard")
+        )
+        # materialize before the tmp store is deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 # --- recrawl tier (per-URL dedup, upstream of content dedup) -----------------
 
 
@@ -2383,6 +2420,92 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_user_sessions_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stateful sessionization in the value-check lane: drain
+    the events table through streaming/sessionize.py's
+    applyInPandasWithState operator (event-time timeout, watermark 0s) as
+    a real Structured Streaming query over three time-ordered micro-batch
+    files plus one far-future sentinel event (the watermark is computed
+    from the PREVIOUS batch's max event time, so the flush of each user's
+    final open session needs one more trigger after the last real data).
+    The cumulative emitted output, with session_idx re-derived as the
+    per-user rank of session_start, must hash-match the BATCH window
+    query — the oracle is EXACTLY SQL_USER_SESSIONS, so the driver
+    certifies streamed == batch == oracle. The drain harness (time-sorted
+    file split, memory sink, sentinel) is test scaffolding; the operator
+    under test is the incremental sessionizer itself. Fresh per-call
+    checkpoint/input under a tmpdir."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from neural_locality_sensitive_hashing_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    work = tempfile.mkdtemp(prefix="nlsh_sessions_inc_")
+    name = "sessions_inc_" + uuid.uuid4().hex[:8]
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        cut1, cut2 = len(pdf) // 3, 2 * len(pdf) // 3
+        for i, part in enumerate([pdf[:cut1], pdf[cut1:cut2], pdf[cut2:]]):
+            spark.createDataFrame(part).coalesce(1).write.parquet(
+                f"{in_dir}/b{i}.parquet"
+            )
+        sentinel = pd.DataFrame(
+            [(-1, pdf["ts"].max() + pd.Timedelta(seconds=10 * SESSION_GAP_SEC),
+              -1, 0.0)],
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        spark.createDataFrame(sentinel).coalesce(1).write.parquet(
+            f"{in_dir}/b3.parquet"
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/*")
+        )
+        q = (
+            sessionize_stream(
+                stream, gap_sec=SESSION_GAP_SEC, watermark_delay="0 seconds"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sess = spark.table(name).where(F.col("user_id") >= 0)  # drop sentinel
+        w = Window.partitionBy("user_id").orderBy("session_start")
+        out = sess.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("session_idx"),
+            "n_events",
+            F.col("session_start").alias("start_ts"),
+            F.col("session_end").alias("end_ts"),
+            "sum_value",
+        )
+        # materialize before the tmp input/checkpoint are deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lang_token_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language token-count quartiles (corpus-quality audit),
     computed from a (lang, token_count) HISTOGRAM rather than
@@ -2455,6 +2578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "unique_documents": q_unique_documents,
     "user_sessions": q_user_sessions,
+    "user_sessions_incremental": q_user_sessions_incremental,
     "lang_token_quartiles": q_lang_token_quartiles,
     "doc_sample_hash": q_doc_sample_hash,
     "bpe_token_stats": q_bpe_token_stats,
@@ -2466,6 +2590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "lang_rebalance_sample": q_lang_rebalance_sample,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "minhash_dedup_pairs_incremental": q_minhash_dedup_pairs_incremental,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "recrawl_latest": q_recrawl_latest,
@@ -2509,6 +2634,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "unique_documents": SQL_UNIQUE_DOCUMENTS,
     "user_sessions": SQL_USER_SESSIONS,
+    "user_sessions_incremental": SQL_USER_SESSIONS,
     "lang_token_quartiles": SQL_LANG_TOKEN_QUARTILES,
     "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
@@ -2521,6 +2647,7 @@ ORACLES: dict[str, str] = {
     "lang_rebalance_sample": SQL_LANG_REBALANCE_SAMPLE,
     "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
+    "minhash_dedup_pairs_incremental": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,

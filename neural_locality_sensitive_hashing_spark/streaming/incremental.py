@@ -91,7 +91,7 @@ def compact_parquet_store(
     executor-memory-sized files.
     """
     recover_store(path)
-    if not os.path.exists(path):
+    if not os.path.exists(path) or not _has_parquet_data(path):
         return
     df = spark.read.parquet(path)
     writer = df.repartition(F.col(partition_col)).write if partition_col else (
@@ -119,6 +119,16 @@ def _swap_rewrite(path: str, write_tmp) -> None:
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def _has_parquet_data(path: str) -> bool:
+    """True iff the store directory holds at least one parquet data file.
+    Walk stops at the first hit, so on a populated store this touches one
+    partition directory; only a genuinely empty store pays a full walk."""
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def recover_store(path: str) -> None:
@@ -179,7 +189,11 @@ class IncrementalDeduper:
 
     def _read_store(self, path: str) -> DataFrame | None:
         recover_store(path)  # heal an interrupted compaction swap
-        if not os.path.exists(path):
+        if not os.path.exists(path) or not _has_parquet_data(path):
+            # second disjunct: a store "created" only by empty appends
+            # (e.g. the pair store after batches that verified zero dups)
+            # holds just _SUCCESS markers — reading it would fail with
+            # unable-to-infer-schema, and semantically it IS empty.
             return None
         return self.spark.read.parquet(path)
 

@@ -87,8 +87,18 @@ def _emit(rows: list[tuple]) -> pd.DataFrame:
     # exact; no float in the timestamp path
     out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
     out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-    # micro-units -> value, rounded to the contract's 4 decimals
-    out["sum_value"] = (out["sum_value"] / 1e6).round(4)
+    # micro-units -> value, rounded to the contract's 4 decimals with the
+    # batch query's exact semantics: round(decimal, 4) is HALF_UP in both
+    # Spark and DuckDB, while pandas' float .round(4) is half-to-even —
+    # a micro sum landing on a half-unit boundary (x.00005) would diverge.
+    # Decimal(s).scaleb(-6) is exact (s is an integer), quantize matches
+    # the engines' tie rule, float() is the same nearest-double cast both
+    # engines apply to the rounded decimal.
+    q4 = Decimal("0.0001")
+    out["sum_value"] = [
+        float(Decimal(int(s)).scaleb(-6).quantize(q4, rounding=ROUND_HALF_UP))
+        for s in out["sum_value"]
+    ]
     return out
 
 

@@ -317,3 +317,33 @@ def test_compact_every_auto_trigger(spark, pages_1k, tmp_path):
     streamed = {(r.a, r.b) for r in dedup.dup_pairs().collect()}
     batch = {(r.a, r.b) for r in _mdp(pages, CFG).collect()}
     assert streamed == batch
+
+
+def test_dup_pairs_readable_when_early_batches_verify_nothing(spark, tmp_path):
+    """A batch that verifies ZERO dup pairs appends an empty frame to a
+    fresh pair store, leaving a _SUCCESS-only directory; the store readers
+    must treat that as an empty store (and later batches must append into
+    it normally) instead of failing with unable-to-infer-schema."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.streaming.incremental import (
+        IncrementalDeduper,
+    )
+
+    vocab = [f"tok{i:03d}" for i in range(400)]
+    uniq = [
+        (i, " ".join(vocab[(i * 17 + j * 13) % 400] for j in range(40)))
+        for i in range(20)
+    ]
+    dup_a = (100, " ".join(vocab[:60]))
+    dup_b = (101, " ".join(vocab[:60]))
+    docs = spark.createDataFrame(uniq + [dup_a, dup_b], "doc_id long, text string")
+
+    dedup = IncrementalDeduper(spark, CFG, str(tmp_path / "state"))
+    # batch 0: unique docs only -> zero verified pairs -> empty pair store
+    dedup.process_batch(docs.where(F.col("doc_id") < 100), 0)
+    assert dedup._read_store(dedup.pair_store) is None  # empty, not broken
+    # batch 1: the dup pair arrives; store append + read must both work
+    dedup.process_batch(docs.where(F.col("doc_id") >= 100), 1)
+    got = {(r.a, r.b) for r in dedup.dup_pairs().collect()}
+    assert got == {(100, 101)}
