@@ -505,6 +505,36 @@ def derive_banding(
     return best
 
 
+def lsh_bucket_self_join(ec: DataFrame) -> DataFrame:
+    """(doc_id, bucket) -> distinct candidate (a, b), a < b, via the
+    bucket equi-self-join.
+
+    Unlike the MinHash dedup path, this pair set IS the oracle-checked
+    answer (all pairs above the cosine threshold), so the chain+tree cap
+    used there (candidates.py) cannot be applied — dropping intra-bucket
+    pairs would drop true duplicates, not just redundant connectivity
+    edges. A boilerplate HOT BUCKET (many near-identical embeddings
+    sharing every band code) therefore cannot be capped away; the scale
+    mitigation is (1) the S-curve banding (`derive_banding`) keeping
+    random-pair collisions per band ~B/2^bits, and (2) AQE skew-join
+    SPLITTING the hot bucket's shuffle partition across tasks — the join
+    is a shuffled SMJ at corpus scale, and OptimizeSkewedJoin rewrites
+    the oversized partition into multiple task-sized splits on both
+    sides without changing the emitted pair set.
+    tests/test_skew.py::test_hyperplane_hot_bucket_aqe_skew_split plants
+    a hot bucket and asserts the executed adaptive plan actually takes
+    the skew split (and that the pair set is exactly the per-bucket
+    reference) — a regression to a non-splittable plan shape fails CI.
+    """
+    return (
+        ec.alias("l")
+        .join(ec.alias("r"), "bucket")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def embedding_dup_pairs_lsh(
     emb: DataFrame,
     tau: float,
@@ -537,13 +567,7 @@ def embedding_dup_pairs_lsh(
     udf = make_hyperplane_udf(planes, num_bands, bits_per_band, n_probes=1)
 
     ec = emb.select(F.col(id_col).alias("doc_id"), F.explode(udf(F.col(vec_col))).alias("bucket"))
-    cand = (
-        ec.alias("l")
-        .join(ec.alias("r"), "bucket")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    cand = lsh_bucket_self_join(ec)
     va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
