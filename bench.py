@@ -53,8 +53,8 @@ HEADLINE = [
     "embedding_dup_pairs_hi",
     "embedding_dup_pairs_fast",
     "pricing_summary",
-    "top_customers",
-    "user_topk_events",
+    "revenue_rollup",
+    "event_type_top_hours",
     "user_sessions",
     "unique_documents",
     "lang_token_quartiles",
@@ -95,14 +95,22 @@ def main() -> None:
     from neural_locality_sensitive_hashing_spark.operators.dedup import (
         minhash_dedup_clusters,
     )
-    from neural_locality_sensitive_hashing_spark.queries import QUERIES
+    from neural_locality_sensitive_hashing_spark.queries import (
+        QUERIES,
+        q_embedding_dup_pairs_fast,
+    )
+
+    # benched but not in the 50-slot driver registry (its oracle equality
+    # is pytest-certified against the in-lane LSH plan)
+    benchable = dict(QUERIES)
+    benchable["embedding_dup_pairs_fast"] = q_embedding_dup_pairs_fast
 
     spark = spark_session("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = benchable[name]
         trials: list[float] = []
         for _ in range(TRIALS):
             t0 = time.time()

@@ -105,7 +105,9 @@ WINDOW_KEYS = {
     "lang_rebalance_sample": [["lang"], ["lang", "bkt"]],
     "lang_token_quartiles": [["lang"], ["lang"]],
     "user_sessions": [["user_id"], ["user_id"]],
-    "user_topk_events": [["user_id"]],
+    # rank over the (event_type, hour) AGGREGATE — bounded input, so the
+    # low-cardinality key is safe (see q_event_type_top_hours docstring)
+    "event_type_top_hours": [["event_type"]],
     "recrawl_latest": [["canonical_url"], ["canonical_url"]],
     "exact_dedup_clusters": [["_w0"]],  # _w0 = md5(text): max cardinality
 }

@@ -119,3 +119,28 @@ def test_ann_recall_vs_bruteforce(spark, vectors):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     assert sum(recalls) / len(recalls) >= 0.9, f"mean ANN recall {sum(recalls)/len(recalls):.3f}"
+
+
+def test_fast_path_equals_lsh_path(spark):
+    """embedding_dup_pairs_fast left the 50-slot driver lane in round 7;
+    this gate certifies it transitively instead: the size-gated
+    broadcast-matmul plan must emit EXACTLY the rows of the LSH plan
+    (whose lane row stays oracle-green) on the driver's correctness
+    tables — same (a, b) set, same rounded cosine values."""
+    from neural_locality_sensitive_hashing_spark.queries import (
+        q_embedding_dup_pairs,
+        q_embedding_dup_pairs_fast,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    lsh = {
+        (r.a, r.b): r.cosine for r in q_embedding_dup_pairs(spark, sf_dir).collect()
+    }
+    fast = {
+        (r.a, r.b): r.cosine
+        for r in q_embedding_dup_pairs_fast(spark, sf_dir).collect()
+    }
+    assert lsh.keys() == fast.keys()
+    assert len(lsh) > 0
+    for k in lsh:
+        assert repr(lsh[k]) == repr(fast[k]), (k, lsh[k], fast[k])
