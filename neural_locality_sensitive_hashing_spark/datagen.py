@@ -219,3 +219,75 @@ def write_pages_dataset(out_dir: str, n_docs: int, seed: int = 42) -> tuple[str,
     pq.write_table(pages, pages_path, row_group_size=row_group)
     pq.write_table(truth, truth_path)
     return pages_path, truth_path
+
+
+def augment_with_recrawls(
+    pages: pa.Table, recrawl_rate: float = 0.3, seed: int = 42
+) -> pa.Table:
+    """Append RECRAWL rows to a pages table: ``recrawl_rate`` of the pages
+    get one extra crawl under a trivially-different URL (tracking params,
+    www. prefix, default port + fragment, case — the four variant shapes
+    operators/recrawl.py canonicalizes away) with a NEWER warc_ts and
+    identical html/text — a faithful re-fetch. The recrawl tier must
+    collapse each variant back onto its base page (newest crawl wins, so
+    the RECRAWL row survives), leaving exactly the original text multiset:
+    content dedup downstream therefore produces the same cluster count as
+    the un-augmented corpus — the cross-check tools/bench_recrawl.py
+    asserts on the 1M-doc benchmark corpus."""
+    n = pages.num_rows
+    rng = np.random.default_rng(seed + 1_000_003)
+    k = int(n * recrawl_rate)
+    idx = np.sort(rng.choice(n, size=k, replace=False))
+    base_urls = pages.column("url").to_pylist()
+    base_ts = pages.column("warc_ts").to_numpy(zero_copy_only=False)
+
+    def variant(u: str, j: int) -> str:
+        # all four shapes canonicalize to canonical_url(u)
+        assert u.startswith("https://")
+        host_path = u[len("https://"):]
+        host, _, path = host_path.partition("/")
+        m = j % 4
+        if m == 0:
+            return f"https://www.{host}/{path}/"
+        if m == 1:
+            return f"https://{host}/{path}?utm_source=feed&utm_campaign=rc{j}"
+        if m == 2:
+            return f"https://{host}:443/{path}#rcfrag"
+        return f"HTTPS://{host.upper()}/{path}?ref"
+
+    sub = pages.take(pa.array(idx, pa.int64()))
+    new_urls = [variant(base_urls[int(i)], int(i)) for i in idx]
+    # newer by 1..90 days so the recrawl row always wins the window
+    bump = rng.integers(1, 90 * 24 * 3600, k).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    new_ts = base_ts[idx] + bump
+    recrawls = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, n + k, dtype=np.int64)),
+            "url": pa.array(new_urls, pa.string()),
+            "warc_ts": pa.array(new_ts),
+            "html": sub.column("html"),
+            "text": sub.column("text"),
+            "lang": sub.column("lang"),
+        }
+    )
+    return pa.concat_tables([pages, recrawls]).combine_chunks()
+
+
+def write_recrawled_pages_dataset(
+    out_dir: str, n_docs: int, seed: int = 42, recrawl_rate: float = 0.3
+) -> tuple[str, str]:
+    """pages.parquet with recrawl augmentation (idempotent cache like
+    write_pages_dataset); truth_groups.parquet covers the base docs."""
+    os.makedirs(out_dir, exist_ok=True)
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    truth_path = os.path.join(out_dir, "truth_groups.parquet")
+    if os.path.exists(pages_path) and os.path.exists(truth_path):
+        return pages_path, truth_path
+    pages, truth = generate_pages(n_docs, seed)
+    pages = augment_with_recrawls(pages, recrawl_rate, seed)
+    row_group = max(512, min(pages.num_rows // 64, 8 * 1024))
+    pq.write_table(pages, pages_path, row_group_size=row_group)
+    pq.write_table(truth, truth_path)
+    return pages_path, truth_path

@@ -165,7 +165,13 @@ def main() -> None:
             latest_crawl_per_url,
         )
 
-        pages = latest_crawl_per_url(pages)
+        # narrow FIRST: the window's one exchange must carry only
+        # (doc_id, url, warc_ts, text) — shuffling the html payload too
+        # doubled the pre-stage wall when measured (tools/bench_recrawl.py)
+        # and at 10^12 docs would make the tier a corpus-payload shuffle
+        pages = latest_crawl_per_url(
+            pages.select("doc_id", "url", "warc_ts", "text")
+        )
     pages = pages.select("doc_id", "text")
     if args.repartition >= 0:
         # optional: balance the narrow projection across all cores
