@@ -241,6 +241,20 @@ def augment_with_recrawls(
     base_urls = pages.column("url").to_pylist()
     base_ts = pages.column("warc_ts").to_numpy(zero_copy_only=False)
 
+    def gather(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        # per-chunk local take: at 1M docs the html/text columns exceed one
+        # 2 GiB arrow chunk, and a whole-table take concatenates chunks
+        # (ArrowInvalid offset overflow); taking inside each chunk keeps
+        # every intermediate under the 32-bit offset limit
+        out, start = [], 0
+        for chunk in col.chunks:
+            lo = np.searchsorted(idx, start)
+            hi = np.searchsorted(idx, start + len(chunk))
+            if hi > lo:
+                out.append(chunk.take(pa.array(idx[lo:hi] - start, pa.int64())))
+            start += len(chunk)
+        return pa.chunked_array(out or [pa.array([], type=col.type)])
+
     def variant(u: str, j: int) -> str:
         # all four shapes canonicalize to canonical_url(u)
         assert u.startswith("https://")
@@ -255,7 +269,6 @@ def augment_with_recrawls(
             return f"https://{host}:443/{path}#rcfrag"
         return f"HTTPS://{host.upper()}/{path}?ref"
 
-    sub = pages.take(pa.array(idx, pa.int64()))
     new_urls = [variant(base_urls[int(i)], int(i)) for i in idx]
     # newer by 1..90 days so the recrawl row always wins the window
     bump = rng.integers(1, 90 * 24 * 3600, k).astype("timedelta64[s]").astype(
@@ -267,12 +280,14 @@ def augment_with_recrawls(
             "doc_id": pa.array(np.arange(n, n + k, dtype=np.int64)),
             "url": pa.array(new_urls, pa.string()),
             "warc_ts": pa.array(new_ts),
-            "html": sub.column("html"),
-            "text": sub.column("text"),
-            "lang": sub.column("lang"),
+            "html": gather(pages.column("html")),
+            "text": gather(pages.column("text")),
+            "lang": gather(pages.column("lang")),
         }
     )
-    return pa.concat_tables([pages, recrawls]).combine_chunks()
+    # no combine_chunks: concatenating the 1M-doc html column back into one
+    # chunk is exactly the 32-bit-offset overflow the per-chunk take avoids
+    return pa.concat_tables([pages, recrawls])
 
 
 def write_recrawled_pages_dataset(
