@@ -1,13 +1,15 @@
 """Real (library-free) media codecs for the multimodal columns.
 
-The sandbox ships no PIL/libav, but PNG and WAV are decodable with the
-stdlib alone — zlib inflate + filter reconstruction for PNG, RIFF chunk
-walk + PCM frombuffer for WAV — so those two formats get REAL decode
-paths; PIL is tried first when present (`decode_image_pixels`). MP4 /
-ISO-BMFF containers are parsed for real too (`parse_mp4`: box walk
-collecting mvhd/tkhd/stsd/stsz/stco; `sample_video_frames`: exact frame
-byte slices at the container's own boundaries); only per-frame video
-CODEC decode remains stubbed in functions/multimodal.py.
+The sandbox ships no PIL/libav, but PNG, baseline JPEG, and WAV are
+decodable library-free — zlib inflate + filter reconstruction for PNG,
+the pure-numpy T.81 baseline codec in functions/jpeg.py, RIFF chunk
+walk + PCM frombuffer for WAV — so those formats get REAL decode paths;
+PIL is tried first when present (`decode_image_pixels`). MP4 / ISO-BMFF
+containers are parsed for real too (`parse_mp4`: box walk collecting
+mvhd/tkhd/stsd/stsz/stco; `sample_video_frames`: exact frame byte
+slices at the container's own boundaries), and MJPEG frames inside them
+decode for real via the JPEG path; only NON-JPEG per-frame video codec
+decode (h264/vp9) remains stubbed in functions/multimodal.py.
 
 All functions are deterministic and None-safe: unrecognized payloads
 return None and the caller falls back to the stub featureizer (tagged so
@@ -20,6 +22,12 @@ import struct
 import zlib
 
 import numpy as np
+
+from neural_locality_sensitive_hashing_spark.functions.jpeg import (  # noqa: F401
+    decode_jpeg_pixels,
+    encode_jpeg,
+    parse_jpeg_header,
+)
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -130,7 +138,7 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
 
 def decode_image_pixels(payload: bytes) -> np.ndarray | None:
     """Best-available image decode: PIL when importable (any format),
-    else the pure-python PNG path."""
+    else the pure-python PNG / baseline-JPEG paths."""
     try:  # optional dependency — absent in this sandbox
         import io
 
@@ -142,7 +150,8 @@ def decode_image_pixels(payload: bytes) -> np.ndarray | None:
             arr = arr[:, :, None]
         return arr
     except Exception:  # noqa: BLE001 — no PIL or not an image it knows
-        return decode_png_pixels(payload)
+        px = decode_png_pixels(payload)
+        return px if px is not None else decode_jpeg_pixels(payload)
 
 
 def parse_wav_header(payload: bytes) -> dict | None:

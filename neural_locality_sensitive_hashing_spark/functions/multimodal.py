@@ -4,17 +4,19 @@ The Spark-side contract is real and tested — schema, Arrow batch shape,
 `mapInPandas` iterator signature, partition-preserving metadata extraction.
 Decode is tiered per payload (functions/codecs.py):
 
-    1. REAL stdlib decoders/demuxers — pure-python PNG (zlib inflate +
-       filter reconstruction), PCM-16 WAV, and ISO-BMFF/MP4 container
-       parsing (box walk: true stsz frame counts, stco-located frame byte
-       slices) — tried first so these formats behave identically with or
-       without optional libraries installed,
+    1. REAL library-free decoders/demuxers — pure-python PNG (zlib
+       inflate + filter reconstruction), baseline JPEG (functions/jpeg.py
+       T.81 Huffman-sequential codec), PCM-16 WAV, and ISO-BMFF/MP4
+       container parsing (box walk: true stsz frame counts, stco-located
+       frame byte slices; MJPEG frames inside get a REAL pixel decode via
+       the JPEG path) — tried first so these formats behave identically
+       with or without optional libraries installed,
     2. PIL when importable (images in other formats),
     3. the deterministic `_fake_decode_*` stub for everything else.
-       The ONLY remaining stub surface is per-frame video CODEC decode
-       (pixels from h264/vp9 bytes need libav, absent here); the
-       container layer — metadata, frame counts, frame sampling — is
-       real.
+       The ONLY remaining stub surface is per-frame decode of NON-JPEG
+       video codecs (pixels from h264/vp9 bytes need libav, absent
+       here); the container layer — metadata, frame counts, frame
+       sampling — is real for every ISO-BMFF payload.
 
 Which tier fired is observable in the ``decoder`` output column — the
 fallback is never silent.
@@ -58,17 +60,23 @@ MEDIA_FEATURE_SCHEMA = StructType(
 
 def _decode_features(payload: bytes, kind: str) -> tuple[np.ndarray, str, int]:
     """(feature, decoder-tag, frame_count): real decode when the format
-    allows, stub otherwise. Tags: 'pil' / 'real-png' / 'real-wav' /
-    'real-mp4-container' / 'stub'. For MP4 video the CONTAINER is parsed
-    for real (box walk: true stsz frame count, stco-located frame byte
-    slices); only the per-frame codec decode is the documented stub —
-    the feature is the mean of the sampled frames' stub features."""
+    allows, stub otherwise. Tags: 'pil' / 'real-png' / 'real-jpeg' /
+    'real-wav' / 'real-mp4-mjpeg' / 'real-mp4-container' / 'stub'. For
+    MP4 video the CONTAINER is parsed for real (box walk: true stsz
+    frame count, stco-located frame byte slices); sampled frames that
+    are themselves baseline JPEG (MJPEG) get a REAL pixel decode
+    ('real-mp4-mjpeg': feature = normalized mean of the frames' pixel
+    features). Only non-JPEG frame codecs keep the documented stub
+    ('real-mp4-container': mean of the sampled frames' stub features)."""
     from neural_locality_sensitive_hashing_spark.functions import codecs
 
     if kind == "image":
         px = codecs.decode_png_pixels(payload)
         if px is not None:
             return codecs.image_feature(px, FEATURE_DIM), "real-png", 1
+        px = codecs.decode_jpeg_pixels(payload)
+        if px is not None:
+            return codecs.image_feature(px, FEATURE_DIM), "real-jpeg", 1
         px = codecs.decode_image_pixels(payload)
         if px is not None:
             return codecs.image_feature(px, FEATURE_DIM), "pil", 1
@@ -81,6 +89,13 @@ def _decode_features(payload: bytes, kind: str) -> tuple[np.ndarray, str, int]:
         if info is not None and info.get("frame_count"):
             fr = codecs.sample_video_frames(payload, info, max_frames=8)
             if fr:
+                px = [codecs.decode_jpeg_pixels(b) for b in fr]
+                if all(p is not None for p in px):  # MJPEG: real pixels
+                    f = np.mean(
+                        [codecs.image_feature(p, FEATURE_DIM) for p in px], axis=0
+                    )
+                    f = (f / max(np.linalg.norm(f), 1e-12)).astype(np.float32)
+                    return f, "real-mp4-mjpeg", int(info["frame_count"])
                 f = np.mean(
                     [_fake_decode_features(b, "video-frame") for b in fr], axis=0
                 )
@@ -145,9 +160,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     (media_id, frame_idx, frame_feature). MP4 payloads are sliced at the
     container's OWN frame boundaries (stsz/stco box walk, codecs.parse_mp4
     — real demuxed frame bytes); other payloads fall back to fixed-stride
-    byte chunks. The per-frame codec decode is the documented stub; the
-    Spark side — explode shape, per-frame feature schema, payload
-    locality — is real. Images/audio yield one frame."""
+    byte chunks. Demuxed frames that are baseline JPEG (MJPEG) get a
+    REAL per-frame pixel decode; only non-JPEG frame codecs take the
+    documented stub feature. The Spark side — explode shape, per-frame
+    feature schema, payload locality — is real. Images/audio yield one
+    frame."""
     from neural_locality_sensitive_hashing_spark.functions import codecs
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,7 +186,12 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
                 for fi, chunk in enumerate(chunks):
                     ids.append(mid)
                     idxs.append(fi)
-                    feats.append(_fake_decode_features(chunk, kind))
+                    px = codecs.decode_jpeg_pixels(chunk) if kind == "video" else None
+                    feats.append(
+                        codecs.image_feature(px, FEATURE_DIM)
+                        if px is not None
+                        else _fake_decode_features(chunk, kind)
+                    )
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_feature": feats})
 
     return media.mapInPandas(
@@ -192,11 +214,12 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 def generate_media(spark, n: int, seed: int = 42, real_fraction: float = 0.5) -> DataFrame:
     """Deterministic synthetic media table for tests: ``real_fraction`` of
-    rows carry REAL payloads (valid PNG / PCM-16 WAV / ISO-BMFF MP4 built
-    by the codecs module's encoders) so the real decode tiers are
-    exercised; the rest are opaque random bytes that exercise the stub
-    tier."""
+    rows carry REAL payloads (valid PNG / baseline JPEG / PCM-16 WAV /
+    ISO-BMFF MP4 with either opaque or MJPEG frames, built by the codecs
+    module's encoders) so every real decode tier is exercised; the rest
+    are opaque random bytes that exercise the stub tier."""
     from neural_locality_sensitive_hashing_spark.functions.codecs import (
+        encode_jpeg,
         encode_mp4,
         encode_png,
         encode_wav,
@@ -210,15 +233,29 @@ def generate_media(spark, n: int, seed: int = 42, real_fraction: float = 0.5) ->
         if rng.random() < real_fraction:
             if kind == "image":
                 h, w, ch = int(rng.integers(4, 24)), int(rng.integers(4, 24)), 3
-                payload = encode_png(rng.integers(0, 256, (h, w, ch), dtype=np.uint8))
+                px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+                # half PNG, half baseline JPEG — both real decode tiers
+                payload = (
+                    encode_png(px) if rng.random() < 0.5
+                    else encode_jpeg(px, quality=90)
+                )
             elif kind == "audio":
                 samples = rng.standard_normal((int(rng.integers(64, 2048)), 1)) * 0.2
                 payload = encode_wav(samples, rate=8000)
             else:
-                frames = [
-                    rng.bytes(int(rng.integers(200, 2000)))
-                    for _ in range(int(rng.integers(2, 16)))
-                ]
+                if rng.random() < 0.5:  # MJPEG track: real per-frame decode
+                    frames = [
+                        encode_jpeg(
+                            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+                            quality=88,
+                        )
+                        for _ in range(int(rng.integers(2, 16)))
+                    ]
+                else:  # opaque frame codec: container real, frames stubbed
+                    frames = [
+                        rng.bytes(int(rng.integers(200, 2000)))
+                        for _ in range(int(rng.integers(2, 16)))
+                    ]
                 payload = encode_mp4(frames, 320, 240, fps=10)
         else:
             payload = rng.bytes(int(rng.integers(64, 16384)))

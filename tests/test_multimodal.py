@@ -64,8 +64,10 @@ def test_decoder_tiers_observable(spark):
         for r in decode_media_features(media).select("kind", "decoder").collect()
     }
     assert ("image", "real-png") in tags
+    assert ("image", "real-jpeg") in tags  # pure-python T.81 baseline
     assert ("audio", "real-wav") in tags
     assert ("video", "real-mp4-container") in tags  # ISO-BMFF box walk
+    assert ("video", "real-mp4-mjpeg") in tags  # demux + real frame decode
     assert ("video", "stub") in tags  # opaque random-byte videos
     # opaque random bytes fall back to the stub for image/audio too
     assert ("image", "stub") in tags and ("audio", "stub") in tags
@@ -76,7 +78,7 @@ def test_decoder_tiers_observable(spark):
     except ImportError:
         has_pil = False
     if not has_pil:
-        # without PIL, non-PNG images can only be stubs
+        # without PIL, non-PNG/JPEG images can only be stubs
         assert ("image", "pil") not in tags
 
 
@@ -85,12 +87,14 @@ def test_video_frame_sampling_stub(spark):
     feats = decode_media_features(media).persist()
     vids = feats.where(F.col("kind") == "video").collect()
     for v in vids:
-        if v.decoder == "real-mp4-container":
+        if v.decoder in ("real-mp4-container", "real-mp4-mjpeg"):
             # the container's OWN stsz count (generator writes 2..15 frames)
             assert 2 <= v.frame_count <= 15
         else:
             assert v.frame_count == 1 + v.n_bytes // 4096
-    assert {v.decoder for v in vids} == {"real-mp4-container", "stub"}
+    assert {v.decoder for v in vids} == {
+        "real-mp4-container", "real-mp4-mjpeg", "stub"
+    }
     others = feats.where(F.col("kind") != "video").collect()
     assert all(o.frame_count == 1 for o in others)
 
