@@ -16,8 +16,8 @@ Scope (the baseline process, which is what MJPEG uses):
   IJG-style quality-scaled Annex K quantization tables, per-image
   OPTIMAL canonical Huffman tables derived with the spec's own
   frequency-counting flow (Annex K.2 / jpeg_gen_optimal_table shape —
-  no 324-entry table transcription to get wrong), 4:4:4 or 4:2:0,
-  optional restart intervals.
+  no 324-entry table transcription to get wrong), 4:4:4 / 4:2:2 /
+  4:2:0, optional restart intervals.
 
 Everything here is from the public JPEG spec; decode totality (any
 byte string → ndarray or None, never an exception) is fuzz-tested in
@@ -129,10 +129,17 @@ def _optimal_huffman(freq: np.ndarray) -> tuple[list[int], list[int]]:
         while others[c2] >= 0:
             c2 = int(others[c2])
             codesize[c2] += 1
-    bits = np.zeros(33, dtype=np.int64)
+    # The bits histogram is sized to the TRUE maximum depth (not clamped
+    # at the spec's nominal 32): clamping a deeper-than-32 symbol into
+    # the 32 bucket would hand the fold a Kraft-overfull multiset and
+    # emit an over-subscribed DHT. Depth > 32 needs Fibonacci-skewed
+    # frequencies summing past ~3.5M blocks — unreachable for sane
+    # images, but the fold is depth-generic so handle it exactly.
+    max_size = max(32, int(codesize.max()))
+    bits = np.zeros(max_size + 1, dtype=np.int64)
     for size in codesize[codesize > 0]:
-        bits[min(int(size), 32)] += 1
-    i = 32
+        bits[int(size)] += 1
+    i = max_size
     while i > 16:  # fold over-long codes down to <= 16 bits
         while bits[i] > 0:
             j = i - 2
@@ -152,7 +159,7 @@ def _optimal_huffman(freq: np.ndarray) -> tuple[list[int], list[int]]:
     sizes = codesize[:256]
     huffval = [
         int(s)
-        for size in range(1, 33)
+        for size in range(1, max_size + 1)
         for s in np.nonzero(sizes == size)[0]
     ]
     return [int(b) for b in bits[1:17]], huffval
@@ -240,7 +247,12 @@ class _BitReader:
         while self.n < k:
             self._fill()
         self.n -= k
-        return (self.acc >> self.n) & ((1 << k) - 1)
+        out = self.acc >> self.n
+        # Truncate the accumulator to the unconsumed bits (mirrors
+        # _BitWriter): without this, acc grows with every byte consumed
+        # and each shift is O(stream-length), making decode quadratic.
+        self.acc &= (1 << self.n) - 1
+        return out
 
     def restart(self) -> None:
         """Byte-align and consume an RSTn marker."""
@@ -495,8 +507,8 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF bytes for (h, w, {1,3}) uint8 pixels — deterministic
-    test/datagen inverse of decode_jpeg_pixels. ``subsampling`` is "444"
-    or "420" (3-channel only); ``restart_interval`` > 0 emits DRI/RSTn
+    test/datagen inverse of decode_jpeg_pixels. ``subsampling`` is "444",
+    "422" or "420" (3-channel only); ``restart_interval`` > 0 emits DRI/RSTn
     every that-many MCUs (exercises the decoder's restart path)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
@@ -504,8 +516,8 @@ def encode_jpeg(
     h, w, ch = px.shape
     if ch not in (1, 3) or h == 0 or w == 0:
         raise ValueError("encode_jpeg wants (h, w, 1|3) uint8 pixels")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     sub = subsampling if ch == 3 else "444"
     q_luma, q_chroma = _quality_tables(quality)
 
@@ -519,8 +531,11 @@ def encode_jpeg(
     else:
         raw_planes = [img[:, :, 0]]
 
-    hv = [(2, 2), (1, 1), (1, 1)] if sub == "420" else [(1, 1)] * 3
-    hv = hv[: len(raw_planes)]
+    hv = {
+        "444": [(1, 1)] * 3,
+        "422": [(2, 1), (1, 1), (1, 1)],
+        "420": [(2, 2), (1, 1), (1, 1)],
+    }[sub][: len(raw_planes)]
     hmax = max(a for a, _ in hv)
     vmax = max(b for _, b in hv)
     mcu_h, mcu_w = 8 * vmax, 8 * hmax

@@ -234,10 +234,18 @@ def generate_media(spark, n: int, seed: int = 42, real_fraction: float = 0.5) ->
             if kind == "image":
                 h, w, ch = int(rng.integers(4, 24)), int(rng.integers(4, 24)), 3
                 px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
-                # half PNG, half baseline JPEG — both real decode tiers
+                # half PNG, half baseline JPEG — both real decode tiers.
+                # JPEG chroma sampling is derived from already-drawn pixel
+                # content (not a fresh draw, which would shift the seeded
+                # stream) so 4:4:4 / 4:2:2 / 4:2:0 all flow through the
+                # Spark decode path, not just the codec unit tests.
                 payload = (
                     encode_png(px) if rng.random() < 0.5
-                    else encode_jpeg(px, quality=90)
+                    else encode_jpeg(
+                        px,
+                        quality=90,
+                        subsampling=("444", "422", "420")[int(px[0, 0, 0]) % 3],
+                    )
                 )
             elif kind == "audio":
                 samples = rng.standard_normal((int(rng.integers(64, 2048)), 1)) * 0.2

@@ -99,6 +99,65 @@ def test_video_frame_sampling_stub(spark):
     assert all(o.frame_count == 1 for o in others)
 
 
+def test_decode_matches_construction_truth(spark):
+    """End-to-end value check against CONSTRUCTION-time truth (not the
+    decoder's own output): media built with known kinds/frame-counts/
+    pixels must decode — through the full Spark mapInPandas path — to
+    exactly the predicted tier and frame count, and the MJPEG feature
+    must match the feature computed from the ORIGINAL pixels (the codec
+    is lossy, so cosine-close, not bit-equal)."""
+    import numpy as np
+
+    from neural_locality_sensitive_hashing_spark.functions import codecs
+    from neural_locality_sensitive_hashing_spark.functions.multimodal import (
+        FEATURE_DIM,
+    )
+
+    rng = np.random.default_rng(77)
+    frame_px = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(6)
+    ]
+    img_px = rng.integers(0, 256, (20, 14, 3), dtype=np.uint8)
+    rows = [
+        # (media_id, kind, payload, expected decoder, expected frame_count)
+        (0, "image", codecs.encode_png(img_px), "real-png", 1),
+        (1, "image", codecs.encode_jpeg(img_px, quality=95), "real-jpeg", 1),
+        (2, "video",
+         codecs.encode_mp4([codecs.encode_jpeg(p, quality=95) for p in frame_px],
+                           320, 240),
+         "real-mp4-mjpeg", 6),
+        (3, "video", codecs.encode_mp4([rng.bytes(400) for _ in range(4)],
+                                       320, 240),
+         "real-mp4-container", 4),
+        # int16-grid samples make the PCM-16 roundtrip LOSSLESS, so the
+        # audio feature must match construction truth exactly
+        (4, "audio",
+         codecs.encode_wav(
+             rng.integers(-32768, 32768, (2048, 2)).astype(np.float64) / 32768.0,
+             rate=8000),
+         "real-wav", 1),
+    ]
+    media = spark.createDataFrame(
+        [(i, k, bytearray(p), "{}") for i, k, p, _, _ in rows],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r.media_id: r for r in decode_media_features(media).collect()}
+    for mid, _, _, want_dec, want_frames in rows:
+        assert got[mid].decoder == want_dec, (mid, got[mid].decoder)
+        assert got[mid].frame_count == want_frames
+    # feature-vs-original-pixels checks (codec lossy -> cosine-close)
+    png_want = codecs.image_feature(img_px, FEATURE_DIM)
+    assert float(np.dot(got[0].feature, png_want)) > 0.999999  # lossless
+    jpg_want = png_want
+    assert float(np.dot(got[1].feature, jpg_want)) > 0.99
+    mj = np.mean([codecs.image_feature(p, FEATURE_DIM) for p in frame_px], axis=0)
+    mj = mj / np.linalg.norm(mj)
+    assert float(np.dot(got[2].feature, mj)) > 0.99
+    wav_samples = codecs.decode_wav_samples(rows[4][2])[0]
+    wav_want = codecs.audio_feature(wav_samples, 8000, FEATURE_DIM)
+    assert float(np.dot(got[4].feature, wav_want)) > 0.999999  # lossless
+
+
 def test_mp4_container_roundtrip():
     """encode_mp4 -> parse_mp4 -> sample_video_frames: real box walk, true
     frame count, exact demuxed frame bytes."""
