@@ -1,0 +1,88 @@
+"""Pool two (or more) same-protocol scaling sessions into the headline
+record (BENCH/scaling_raw.json).
+
+The BENCH/BASELINE.md protocol (round 6 onward) quotes scaling efficiency
+over EQUAL trial counts per level POOLED ACROSS SESSIONS, because
+single-session windows on this shared VM carry ±40% block noise (see the
+noise-floor A/B in BENCH/BASELINE.md). This tool makes that pooling a
+recorded, repeatable step instead of an ad-hoc notebook computation:
+
+    python tools/pool_scaling.py BENCH/scaling_raw_r7_sessionA.json \
+                                 BENCH/scaling_raw_r7_sessionB.json
+
+Writes BENCH/scaling_raw.json with all walls pooled, min/median
+efficiency over the pooled sets, and asserts the cluster-count invariant
+agrees across every session (determinism gate, not just a perf record).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    session_paths = sys.argv[1:]
+    if len(session_paths) < 2:
+        raise SystemExit(__doc__)
+
+    lo_walls: list[float] = []
+    hi_walls: list[float] = []
+    docs = None
+    clusters = None
+    pair_label = None
+    for p in session_paths:
+        with open(p) as f:
+            d = json.load(f)
+        # headline pair = the first recorded pair; a session that also ran
+        # extra pairs (e.g. the 1x2,4x2 bandwidth-diagnostic pair) must
+        # still lead with the same headline pair as the others
+        pair = d["pairs"][0]
+        if pair_label is None:
+            pair_label = pair["pair"]
+        assert pair["pair"] == pair_label, (
+            f"{p}: headline pair {pair['pair']!r} != {pair_label!r}"
+        )
+        lo, hi = pair["lo"], pair["hi"]
+        assert len(lo["walls"]) == len(hi["walls"]), f"{p}: unequal trial counts"
+        lo_walls += lo["walls"]
+        hi_walls += hi["walls"]
+        if docs is None:
+            docs, clusters = lo["docs"], lo["clusters"]
+        # determinism invariant: identical answer at every level, every session
+        for level in (lo, hi):
+            assert level["docs"] == docs, f"{p}: docs mismatch"
+            assert level["clusters"] == clusters, (
+                f"{p}: cluster invariant broken ({level['clusters']} != {clusters})"
+            )
+
+    lo_walls.sort()
+    hi_walls.sort()
+    dps = lambda w: docs / w  # noqa: E731
+    out = {
+        "mode": "executors",
+        "docs": docs,
+        "trials_per_level": len(lo_walls),
+        "pair": pair_label,
+        "sessions": [os.path.basename(p) for p in session_paths],
+        "lo_walls": lo_walls,
+        "hi_walls": hi_walls,
+        "eff_min": round(dps(min(hi_walls)) / (4.0 * dps(min(lo_walls))), 3),
+        "eff_median": round(
+            dps(statistics.median(hi_walls))
+            / (4.0 * dps(statistics.median(lo_walls))),
+            3,
+        ),
+        "clusters": clusters,
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
