@@ -57,6 +57,13 @@ PLAN_BOUNDS = {
     # shingle-count agg + join-back (reuses the agg partitioning) +
     # per-doc aggregation
     "boilerplate_shingles": 3,
+    # z-score stats broadcast back over the scan + final projection agg
+    "embedding_normalized": 1,
+    # dims broadcast (customer/nation/region + reused builds), the
+    # exchanges are lineitem->orders co-partitioning + the rollup aggs
+    "revenue_rollup": 4,
+    # (event_type, hour) aggregate + rank window over that aggregate
+    "event_type_top_hours": 2,
 }
 
 

@@ -44,6 +44,10 @@ AUDITED = [
     "pii_scrub",
     "boilerplate_shingles",
     "bpe_token_stats",
+    # round-7 consolidated registry entries (see queries.py registry note)
+    "embedding_normalized",
+    "revenue_rollup",
+    "event_type_top_hours",
 ]
 
 
