@@ -1,0 +1,237 @@
+"""WARC (ISO 28500) crawl-archive source — raw-crawl ingestion for the
+Common-Crawl-style pipeline.
+
+This is the missing first metre of the webtext story: real corpora do
+not start as a parquet ``documents`` table, they start as WARC archive
+files. This source turns them into exactly the engine's input-hint shape
+``(url, warc_ts, html, text, lang)`` so the existing tiers compose
+unchanged: WARC files -> ``warc_pages`` -> per-URL recrawl dedup
+(operators/recrawl.py) -> content dedup -> everything else.
+
+Format knowledge is the PUBLIC WARC 1.0 / ISO 28500 specification and
+Common Crawl's published archive layout (each record its own gzip
+member, members concatenated into one ``.warc.gz``). The reference repo
+has no crawl-file reader at all — it starts from in-memory vectors
+(nlsh/indexer.py builds over already-loaded arrays) — so this is an
+engine addition in the SURVEY §2.12 N-series.
+
+Spark shape, sized for 100 TB: a crawl is tens of thousands of ~1 GB
+archive files. ``spark.read.format("binaryFile")`` yields one row per
+file and ``mapInPandas`` parses records inside each payload, so the
+parallelism IS the file count: one task per archive, ZERO shuffles (the
+physical plan is scan -> mapInPandas, asserted in tests). Per-record
+gzip members keep peak memory at one archive per task regardless of
+corpus size. Gzip is decompressed member-at-a-time (zlib
+``unused_data`` walk), never whole-file-at-once.
+
+Totality contract (same as the codec family): a malformed, truncated,
+or hostile record is SKIPPED — the parser resynchronizes on the next
+``WARC/1.0\\r\\n`` magic and never raises on arbitrary bytes
+(fuzz-tested in tests/test_warc.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+_WARC_MAGIC = b"WARC/1.0\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+# Spark-facing schema of the raw record reader. html stays BINARY here
+# (bytes are the ground truth; charset decode is downstream's choice) —
+# warc_pages() casts to string inside extract_text, matching the planted
+# crawls table where html = encode(text).
+WARC_SCHEMA = "path string, url string, warc_ts timestamp, html binary"
+
+
+# ---------------------------------------------------------------------------
+# encode (test/datagen inverse, like encode_jpeg / encode_wav / encode_mp4)
+# ---------------------------------------------------------------------------
+
+
+def encode_warc(
+    records: Iterable[dict],
+    gzip_members: bool = True,
+) -> bytes:
+    """WARC/1.0 bytes for an iterable of ``{"url", "date", "html"}``
+    dicts (``date``: aware-or-naive UTC datetime; ``html``: bytes).
+
+    Writes Common-Crawl-layout *response* records: the WARC content
+    block is an HTTP/1.1 response head + CRLFCRLF + body, and with
+    ``gzip_members=True`` (the CC default) each record is its own gzip
+    member so readers can stream member-at-a-time."""
+    out = []
+    for i, rec in enumerate(records):
+        body: bytes = rec["html"]
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+        date = rec["date"]
+        if date.tzinfo is not None:
+            date = date.astimezone(timezone.utc).replace(tzinfo=None)
+        headers = (
+            _WARC_MAGIC
+            + b"WARC-Type: response\r\n"
+            + b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-%012d>\r\n" % i
+            + b"WARC-Date: " + date.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            + b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            + b"\r\n"
+        )
+        record = headers + http + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)  # 31 = gzip wrapper
+            record = co.compress(record) + co.flush()
+        out.append(record)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# decode (total)
+# ---------------------------------------------------------------------------
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Concatenated-gzip-member decompress, member at a time via
+    ``unused_data`` — a truncated/corrupt tail yields what decompressed
+    cleanly so far instead of raising."""
+    out = []
+    rest = buf
+    while rest[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(47)  # 47 = auto-detect gzip wrapper
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error:
+            break
+        if not d.eof:  # truncated final member
+            break
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower().decode("ascii", "replace")] = (
+                v.strip().decode("utf-8", "replace")
+            )
+    return headers
+
+
+def _parse_date(value: str) -> datetime | None:
+    try:
+        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return None
+
+
+def iter_warc_records(buf: bytes) -> Iterator[dict]:
+    """Yield ``{"warc_type", "url", "date", "body"}`` per parseable WARC
+    record in ``buf`` (plain or concatenated-gzip). TOTAL: any byte
+    string yields zero or more records and never raises; a malformed
+    record is skipped and parsing resynchronizes on the next
+    ``WARC/1.0\\r\\n`` magic."""
+    if buf[:2] == _GZIP_MAGIC:
+        buf = _gunzip_members(buf)
+    pos = buf.find(_WARC_MAGIC)
+    while pos >= 0:
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        nxt = buf.find(_WARC_MAGIC, pos + len(_WARC_MAGIC))
+        if hdr_end < 0 or (0 <= nxt < hdr_end):
+            pos = nxt  # header block never terminated: resync
+            continue
+        headers = _parse_headers(buf[pos + len(_WARC_MAGIC) : hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            length = -1
+        content_start = hdr_end + 4
+        content_end = content_start + length
+        if length < 0 or content_end > len(buf):
+            pos = nxt  # unparseable length / truncated content: resync
+            continue
+        content = buf[content_start:content_end]
+        body = content
+        if headers.get("content-type", "").startswith("application/http"):
+            split = content.find(b"\r\n\r\n")
+            body = content[split + 4 :] if split >= 0 else b""
+        date = _parse_date(headers.get("warc-date", ""))
+        url = headers.get("warc-target-uri", "")
+        if date is not None:
+            yield {
+                "warc_type": headers.get("warc-type", ""),
+                "url": url,
+                "date": date,
+                "body": body,
+            }
+        # next record begins after the content block's CRLFCRLF separator,
+        # but resync on magic regardless (tolerates a missing separator)
+        pos = buf.find(_WARC_MAGIC, max(content_end, pos + len(_WARC_MAGIC)))
+
+
+def parse_warc_records(buf: bytes) -> list[dict]:
+    """List form of :func:`iter_warc_records` (total, never raises)."""
+    return list(iter_warc_records(buf))
+
+
+# ---------------------------------------------------------------------------
+# Spark readers
+# ---------------------------------------------------------------------------
+
+
+def read_warc(spark, path: str):
+    """``(path, url, warc_ts, html)`` DataFrame over WARC archive files.
+
+    One binaryFile row per archive -> mapInPandas record parse. ZERO
+    shuffles: the plan is scan -> mapInPandas (tests assert 0
+    exchanges). Only *response* records with a target URI become rows —
+    warcinfo/request/metadata records are crawl bookkeeping, not pages.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for file_path, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content)):
+                    if rec["warc_type"] == "response" and rec["url"]:
+                        rows.append(
+                            (file_path, rec["url"], rec["date"], rec["body"])
+                        )
+            yield pd.DataFrame(
+                rows, columns=["path", "url", "warc_ts", "html"]
+            )
+
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_pages(spark, path: str):
+    """WARC archives -> the engine's input-hint page shape
+    ``(url, warc_ts, html, text, lang)``, ready for the recrawl tier and
+    content dedup. text/lang are the NATIVE Catalyst kernels
+    (functions/text.py) — the only Python in the whole read is the
+    record parse itself."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.functions.text import (
+        extract_text,
+        lang_id,
+    )
+
+    pages = read_warc(spark, path)
+    return pages.select(
+        "url",
+        "warc_ts",
+        "html",
+        extract_text(F.col("html")).alias("text"),
+    ).withColumn("lang", lang_id(F.col("text")))

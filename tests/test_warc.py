@@ -1,0 +1,167 @@
+"""WARC crawl-archive source: roundtrip, gzip-member walk, totality on
+hostile bytes, the zero-shuffle Spark read, and the end-to-end
+WARC -> recrawl-tier composition (construction-time truth as oracle)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neural_locality_sensitive_hashing_spark.sources.warc import (
+    encode_warc,
+    iter_warc_records,
+    parse_warc_records,
+    read_warc,
+    warc_pages,
+)
+
+
+def _records(n: int, seed: int = 5) -> list[dict]:
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            "url": f"https://example{i % 3}.com/page/{i}?q={i}",
+            "date": datetime(2024, 1, 1 + i % 27, i % 24, 0, 0),
+            "html": b"<html><body>" + rng.bytes(int(rng.integers(10, 400)))
+            .replace(b"WARC/1.0\r\n", b"........")  # keep bodies magic-free
+            + b"</body></html>",
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    recs = _records(7)
+    got = parse_warc_records(encode_warc(recs, gzip_members=gz))
+    assert len(got) == len(recs)
+    for want, have in zip(recs, got):
+        assert have["warc_type"] == "response"
+        assert have["url"] == want["url"]
+        assert have["date"] == want["date"]
+        assert have["body"] == want["html"]
+
+
+def test_embedded_magic_in_body():
+    """A body that QUOTES a WARC record header must not split the
+    enclosing record (content-length wins over magic-scan)."""
+    recs = [
+        {
+            "url": "https://example.com/a",
+            "date": datetime(2024, 2, 1, 12, 0, 0),
+            "html": b"look: WARC/1.0\r\nWARC-Type: response\r\n\r\n fake!",
+        },
+        {
+            "url": "https://example.com/b",
+            "date": datetime(2024, 2, 2, 12, 0, 0),
+            "html": b"<html>second real page</html>",
+        },
+    ]
+    got = parse_warc_records(encode_warc(recs, gzip_members=False))
+    assert [g["url"] for g in got] == [r["url"] for r in recs]
+    assert got[0]["body"] == recs[0]["html"]
+
+
+def test_resync_past_garbage_and_truncation():
+    """Garbage between records and a truncated final record: the parser
+    keeps every intact record and never raises."""
+    recs = _records(4, seed=9)
+    blobs = [encode_warc([r], gzip_members=False) for r in recs]
+    spliced = (
+        b"\x00garbage\xff" + blobs[0] + b"noise WARC/ not-magic" + blobs[1]
+        + blobs[2] + blobs[3][: len(blobs[3]) // 2]  # truncated mid-content
+    )
+    got = parse_warc_records(spliced)
+    assert [g["url"] for g in got] == [r["url"] for r in recs[:3]]
+    # gzip flavour: corrupt tail member yields the clean prefix members
+    gz = encode_warc(recs[:2], gzip_members=True)
+    assert len(parse_warc_records(gz + b"\x1f\x8b\x08trunc")) == 2
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=600))
+def test_total_on_arbitrary_bytes(payload):
+    out = parse_warc_records(payload)
+    assert isinstance(out, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=200), st.integers(0, 400))
+def test_total_on_corrupted_real_archive(tail, cut):
+    base = encode_warc(_records(3, seed=2), gzip_members=False)
+    out = parse_warc_records(base[: min(cut, len(base))] + tail)
+    assert isinstance(out, list)
+
+
+def test_spark_read_matches_construction_truth(spark, tmp_path):
+    """Three archive files (two gzip-membered, one plain) through the
+    binaryFile -> mapInPandas read: every constructed record comes back
+    with its url/ts/html, and the plan has ZERO shuffle exchanges —
+    parallelism is the file count, exactly the 100 TB shape."""
+    from tools.plan_audit import audit
+
+    recs = _records(12, seed=11)
+    chunks = [recs[0:5], recs[5:9], recs[9:12]]
+    for i, chunk in enumerate(chunks):
+        gz = i < 2
+        name = f"part{i}.warc" + (".gz" if gz else "")
+        (tmp_path / name).write_bytes(encode_warc(chunk, gzip_members=gz))
+
+    df = read_warc(spark, str(tmp_path))
+    assert audit(df)["exchanges"] == 0
+    rows = {r.url: r for r in df.collect()}
+    assert len(rows) == len(recs)
+    for want in recs:
+        have = rows[want["url"]]
+        assert bytes(have.html) == want["html"]
+        assert have.warc_ts == want["date"]
+        assert os.path.basename(have.path).startswith("part")
+
+
+def test_warc_to_recrawl_tier_end_to_end(spark, tmp_path):
+    """The full first metre: WARC archives of the SAME page crawled
+    under tracking-param/fragment URL variants on different days ->
+    warc_pages -> latest_crawl_per_url keeps exactly the newest crawl
+    per canonical URL (construction-time truth, not parser output)."""
+    from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+        latest_crawl_per_url,
+    )
+
+    variants = [
+        ("https://Example.com/article?utm_source=x", 1),
+        ("https://example.com/article#frag", 2),
+        ("https://example.com:443/article", 3),  # newest crawl wins
+    ]
+    recs = [
+        {
+            "url": url,
+            "date": datetime(2024, 3, day, 0, 0, 0),
+            "html": b"<html><body>The article, crawl %d</body></html>" % day,
+        }
+        for url, day in variants
+    ] + [
+        {
+            "url": "https://other.com/page",
+            "date": datetime(2024, 3, 1, 0, 0, 0),
+            "html": b"<html><body>hello other page</body></html>",
+        }
+    ]
+    (tmp_path / "crawl.warc.gz").write_bytes(encode_warc(recs))
+
+    pages = warc_pages(spark, str(tmp_path))
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    latest = {
+        r.canonical_url: r
+        for r in latest_crawl_per_url(pages, id_col="warc_ts").collect()
+    }
+    assert len(latest) == 2
+    art = latest["https://example.com/article"]
+    assert art.n_crawls == 3
+    assert art.warc_ts == datetime(2024, 3, 3, 0, 0, 0)
+    assert b"crawl 3" in bytes(art.html)
+    assert latest["https://other.com/page"].n_crawls == 1
