@@ -27,9 +27,9 @@ def _records(n: int, seed: int = 5) -> list[dict]:
         {
             "url": f"https://example{i % 3}.com/page/{i}?q={i}",
             "date": datetime(2024, 1, 1 + i % 27, i % 24, 0, 0),
-            "html": b"<html><body>" + rng.bytes(int(rng.integers(10, 400)))
+            "html": b"<html><main>" + rng.bytes(int(rng.integers(10, 400)))
             .replace(b"WARC/1.0\r\n", b"........")  # keep bodies magic-free
-            + b"</body></html>",
+            + b"</main></html>",
         }
         for i in range(n)
     ]
@@ -141,14 +141,14 @@ def test_warc_to_recrawl_tier_end_to_end(spark, tmp_path):
         {
             "url": url,
             "date": datetime(2024, 3, day, 0, 0, 0),
-            "html": b"<html><body>The article, crawl %d</body></html>" % day,
+            "html": b"<html><main>The article, crawl %d</main></html>" % day,
         }
         for url, day in variants
     ] + [
         {
             "url": "https://other.com/page",
             "date": datetime(2024, 3, 1, 0, 0, 0),
-            "html": b"<html><body>hello other page</body></html>",
+            "html": b"<html><main>hello other page</main></html>",
         }
     ]
     (tmp_path / "crawl.warc.gz").write_bytes(encode_warc(recs))
@@ -165,3 +165,60 @@ def test_warc_to_recrawl_tier_end_to_end(spark, tmp_path):
     assert art.warc_ts == datetime(2024, 3, 3, 0, 0, 0)
     assert b"crawl 3" in bytes(art.html)
     assert latest["https://other.com/page"].n_crawls == 1
+
+
+def test_job_tool_from_warc_end_to_end(tmp_path):
+    """`run_dedup_job --from-warc --recrawl-dedup` over raw crawl
+    archives: the whole pipeline (WARC parse -> recrawl tier -> MinHash
+    dedup -> clusters) in a fresh spark-submit-style process, checked
+    against construction-time truth — 50 unique pages + 5 exact-text
+    copies of page 0 + recrawl variants collapse to exactly 55 docs and
+    50 clusters."""
+    import json
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(23)
+    # vocabulary must be wide enough that random texts share ~no shingles
+    # (a tiny vocab makes every page a genuine near-dup of every other)
+    words = np.array([f"w{i:03d}" for i in range(1000)])
+
+    def page_text(r):
+        return " ".join(r.choice(words, size=120))
+
+    base_texts = [page_text(rng) for _ in range(50)]
+    recs = []
+    for i, txt in enumerate(base_texts):
+        recs.append({
+            "url": f"https://site.com/p/{i}",
+            "date": datetime(2024, 4, 1, i % 24, 0, 0),
+            "html": b"<html><main>" + txt.encode() + b"</main></html>",
+        })
+        if i % 10 == 0:  # 5 recrawl variants: collapsed BEFORE dedup
+            recs.append({
+                "url": f"https://site.com/p/{i}?utm_medium=y",
+                "date": datetime(2024, 4, 2, i % 24, 0, 0),
+                "html": recs[-1]["html"],
+            })
+    for j in range(5):  # 5 exact-text copies of page 0 at DISTINCT urls
+        recs.append({
+            "url": f"https://mirror{j}.org/copy",
+            "date": datetime(2024, 4, 3, j, 0, 0),
+            "html": b"<html><main>" + base_texts[0].encode() + b"</main></html>",
+        })
+    (tmp_path / "crawl.warc.gz").write_bytes(encode_warc(recs))
+
+    out = tmp_path / "report.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "run_dedup_job.py"),
+         "--pages", str(tmp_path), "--from-warc", "--recrawl-dedup",
+         "--shuffle-partitions", "8", "--json-out", str(out)],
+        check=True, cwd=repo, timeout=420,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8", "PYTHONPATH": repo},
+    )
+    rep = json.loads(out.read_text())
+    assert rep["docs"] == 60              # 55 pages + 5 recrawl variants
+    assert rep["clusters"] == 50          # page0's 6 copies -> one cluster
+    assert rep["dup_pairs"] >= 5

@@ -51,7 +51,7 @@ def build_archives(out_dir: str, n_files: int, per_file: int, seed: int = 7) -> 
             doc_id = f * per_file + i
             body = " ".join(rng.choice(WORDS, size=int(rng.integers(80, 300))))
             url = f"https://site{doc_id % 997}.com/p/{doc_id}"
-            html = b"<html><body>" + body.encode() + b"</body></html>"
+            html = b"<html><main>" + body.encode() + b"</main></html>"
             recs.append(
                 {"url": url, "date": t0 + timedelta(minutes=doc_id % 50000),
                  "html": html}

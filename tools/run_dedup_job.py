@@ -38,6 +38,15 @@ def _input_token(pages_path: str, n_docs: int) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
+    ap.add_argument(
+        "--from-warc", action="store_true",
+        help="treat --pages as a directory of WARC crawl archives "
+        "(.warc/.warc.gz, Common-Crawl layout) instead of a parquet table: "
+        "records are parsed with sources/warc.py (zero-shuffle binaryFile "
+        "-> mapInPandas) into the (url, warc_ts, html, text, lang) page "
+        "shape and doc_id is assigned per record — the whole pipeline then "
+        "runs from raw crawl files; pairs naturally with --recrawl-dedup",
+    )
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument(
@@ -158,7 +167,18 @@ def main() -> None:
         verify_screen=args.verify_screen, shingle_hash_bytes=args.shingle_bytes
     )
 
-    pages = spark.read.parquet(args.pages)
+    if args.from_warc:
+        from pyspark.sql import functions as F
+
+        from neural_locality_sensitive_hashing_spark.sources.warc import warc_pages
+
+        # per-record id: unique within the run (all downstream stages need
+        # doc_id only as a distinct member/tiebreak key, never across runs)
+        pages = warc_pages(spark, args.pages).withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        )
+    else:
+        pages = spark.read.parquet(args.pages)
     n_docs = pages.count()
     if args.recrawl_dedup:
         from neural_locality_sensitive_hashing_spark.operators.recrawl import (
