@@ -215,6 +215,52 @@ def read_warc(spark, path: str):
     return files.mapInPandas(parse, WARC_SCHEMA)
 
 
+def read_warc_stream(spark, path: str, max_files_per_trigger: int = 1):
+    """Streaming flavour of :func:`read_warc` for CONTINUOUS crawl
+    ingestion: archives landing in ``path`` become micro-batches
+    (``maxFilesPerTrigger`` archives each) of ``(crawl_id, path, url,
+    warc_ts, html)`` rows.
+
+    ``crawl_id = xxhash64(path, url, warc_ts)`` is DETERMINISTIC over the
+    file content, not an arrival counter — a replayed micro-batch (the
+    foreachBatch at-least-once window) reproduces bit-identical rows,
+    which the incremental store's ``last_batch_id`` replay guard
+    requires. Same zero-shuffle shape as the batch read: file listing ->
+    mapInPandas, nothing else."""
+    from pyspark.sql import functions as F
+
+    # binaryFile's fixed schema, required explicitly by streaming sources
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for file_path, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content)):
+                    if rec["warc_type"] == "response" and rec["url"]:
+                        rows.append(
+                            (file_path, rec["url"], rec["date"], rec["body"])
+                        )
+            yield pd.DataFrame(
+                rows, columns=["path", "url", "warc_ts", "html"]
+            )
+
+    return files.mapInPandas(parse, WARC_SCHEMA).withColumn(
+        "crawl_id", F.xxhash64("path", "url", "warc_ts")
+    )
+
+
 def warc_pages(spark, path: str):
     """WARC archives -> the engine's input-hint page shape
     ``(url, warc_ts, html, text, lang)``, ready for the recrawl tier and

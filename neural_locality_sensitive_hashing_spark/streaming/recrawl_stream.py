@@ -226,3 +226,37 @@ def run_incremental_recrawl(
     )
     q.awaitTermination()
     return sink
+
+
+def run_incremental_recrawl_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    state_dir: str,
+    store_parts: int = 16,
+    max_files_per_trigger: int = 1,
+) -> IncrementalRecrawl:
+    """Continuous crawl ingestion from RAW archives: WARC files landing
+    in ``warc_dir`` drain straight into the latest-crawl store — the
+    crawler drops an archive, the store stays current; no parquet
+    staging hop. One archive per micro-batch by default, and the parse
+    is the same zero-shuffle binaryFile -> mapInPandas read as the batch
+    tier (sources/warc.py), so each micro-batch's only exchange is the
+    store upsert's own canonical_url aggregation.
+
+    The per-record ``crawl_id`` is content-derived (xxhash64 of path +
+    url + warc_ts, see read_warc_stream) so a replayed micro-batch
+    reproduces identical rows for the ``last_batch_id`` replay guard."""
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        read_warc_stream,
+    )
+
+    sink = IncrementalRecrawl(spark, state_dir, store_parts, id_col="crawl_id")
+    pages = read_warc_stream(spark, warc_dir, max_files_per_trigger)
+    q = (
+        pages.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", os.path.join(state_dir, "_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

@@ -222,3 +222,69 @@ def test_job_tool_from_warc_end_to_end(tmp_path):
     assert rep["docs"] == 60              # 55 pages + 5 recrawl variants
     assert rep["clusters"] == 50          # page0's 6 copies -> one cluster
     assert rep["dup_pairs"] >= 5
+
+
+def test_streaming_warc_ingestion_matches_batch_tier(spark, tmp_path):
+    """Continuous crawl ingestion: archives drained one-per-micro-batch
+    through run_incremental_recrawl_warc must leave the latest-crawl
+    store EQUAL to the batch tier over the same directory — including
+    cross-archive recrawls, where a later micro-batch must replace a
+    winner the store already holds."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+        latest_crawl_per_url,
+    )
+    from neural_locality_sensitive_hashing_spark.streaming.recrawl_stream import (
+        run_incremental_recrawl_warc,
+    )
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+
+    def rec(url, day, hour, tag):
+        return {
+            "url": url,
+            "date": datetime(2024, 5, day, hour, 0, 0),
+            "html": b"<html><main>" + tag + b"</main></html>",
+        }
+
+    archives = [
+        # archive 0: two fresh pages
+        [rec("https://a.com/x", 1, 0, b"x v1"), rec("https://b.com/y", 1, 1, b"y v1")],
+        # archive 1: recrawl of a.com/x under a tracking variant (newer)
+        [rec("https://a.com/x?utm_source=s", 2, 0, b"x v2"),
+         rec("https://c.com/z", 2, 1, b"z v1")],
+        # archive 2: OLDER duplicate of b.com/y (must NOT replace) and a
+        # third, newest crawl of a.com/x
+        [rec("https://B.com/y/", 1, 0, b"y v0"), rec("https://a.com/x#f", 3, 0, b"x v3")],
+    ]
+    for i, recs in enumerate(archives):
+        (warc_dir / f"arc{i}.warc.gz").write_bytes(encode_warc(recs))
+
+    sink = run_incremental_recrawl_warc(
+        spark, str(warc_dir), str(tmp_path / "state"), store_parts=4
+    )
+    got = sorted(
+        (r.canonical_url, r.url, r.warc_ts, r.n_crawls)
+        for r in sink.latest_crawls().collect()
+    )
+
+    batch = latest_crawl_per_url(
+        read_warc(spark, str(warc_dir)).withColumn(
+            "crawl_id", F.xxhash64("path", "url", "warc_ts")
+        ),
+        id_col="crawl_id",
+    )
+    want = sorted(
+        (r.canonical_url, r.url, r.warc_ts, r.n_crawls)
+        for r in batch.select(
+            "canonical_url", "url", "warc_ts", "n_crawls"
+        ).collect()
+    )
+    assert got == want
+    by_canon = {g[0]: g for g in got}
+    assert by_canon["https://a.com/x"][2] == datetime(2024, 5, 3, 0, 0, 0)
+    assert by_canon["https://a.com/x"][3] == 3
+    assert by_canon["https://b.com/y"][2] == datetime(2024, 5, 1, 1, 0, 0)
+    assert by_canon["https://b.com/y"][3] == 2
