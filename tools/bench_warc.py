@@ -77,6 +77,10 @@ def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 6250
     trials = int(os.environ.get("BENCH_WARC_TRIALS", "3"))
+    # two-parallelism-level evidence for the zero-shuffle read: run once
+    # with local[8] and once with local[32] (same archives, same seed)
+    master = os.environ.get("BENCH_WARC_MASTER", "local[32]")
+    out_name = os.environ.get("BENCH_WARC_OUT", "warc_raw.json")
 
     from neural_locality_sensitive_hashing_spark import spark_session
     from neural_locality_sensitive_hashing_spark.operators.recrawl import (
@@ -96,7 +100,8 @@ def main() -> None:
         ) / 1e6
 
         spark = spark_session(
-            "bench_warc", master="local[32]", shuffle_partitions=32
+            "bench_warc", master=master,
+            shuffle_partitions=int(master.split("[")[1].rstrip("]")),
         )
         stages = {
             "parse": lambda: read_warc(spark, d).count(),
@@ -110,7 +115,7 @@ def main() -> None:
             "pages": n_pages,
             "archive_mb": round(arc_mb, 1),
             "gen_s": round(gen_s, 1),
-            "master": "local[32]",
+            "master": master,
             "trials": trials,
             "stages": {},
         }
@@ -138,7 +143,7 @@ def main() -> None:
             }
         spark.stop()
 
-    with open(os.path.join(REPO, "BENCH", "warc_raw.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
