@@ -97,22 +97,36 @@ def encode_warc(
 # ---------------------------------------------------------------------------
 
 
-def _gunzip_members(buf: bytes) -> bytes:
-    """Concatenated-gzip-member decompress, member at a time via
-    ``unused_data`` — a truncated/corrupt tail yields what decompressed
-    cleanly so far instead of raising."""
-    out = []
+_MAGIC_LEN = len(_WARC_MAGIC)  # "WARC/1.x\r\n" is always 10 bytes
+
+
+def _find_magic(buf: bytes, start: int) -> int:
+    """Next WARC record magic at or after ``start`` — accepts both
+    ``WARC/1.0`` and ``WARC/1.1`` (the two published revisions; CC ships
+    1.0, warcio/wget emit 1.1)."""
+    pos = buf.find(b"WARC/1.", start)
+    while pos >= 0:
+        if buf[pos + 7 : pos + 10] in (b"0\r\n", b"1\r\n"):
+            return pos
+        pos = buf.find(b"WARC/1.", pos + 1)
+    return -1
+
+
+def _iter_gzip_members(buf: bytes) -> Iterator[bytes]:
+    """Decompress concatenated gzip members ONE AT A TIME — peak memory
+    is a single member, and a truncated/corrupt tail yields the members
+    that decompressed cleanly instead of raising."""
     rest = buf
     while rest[:2] == _GZIP_MAGIC:
         d = zlib.decompressobj(47)  # 47 = auto-detect gzip wrapper
         try:
-            out.append(d.decompress(rest))
+            chunk = d.decompress(rest)
         except zlib.error:
-            break
+            return
+        yield chunk
         if not d.eof:  # truncated final member
-            break
+            return
         rest = d.unused_data
-    return b"".join(out)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -127,36 +141,54 @@ def _parse_headers(block: bytes) -> dict[str, str]:
 
 
 def _parse_date(value: str) -> datetime | None:
-    try:
-        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
-    except ValueError:
-        return None
-
-
-def iter_warc_records(buf: bytes) -> Iterator[dict]:
-    """Yield ``{"warc_type", "url", "date", "body"}`` per parseable WARC
-    record in ``buf`` (plain or concatenated-gzip). TOTAL: any byte
-    string yields zero or more records and never raises; a malformed
-    record is skipped and parsing resynchronizes on the next
-    ``WARC/1.0\\r\\n`` magic."""
-    if buf[:2] == _GZIP_MAGIC:
-        buf = _gunzip_members(buf)
-    pos = buf.find(_WARC_MAGIC)
-    while pos >= 0:
-        hdr_end = buf.find(b"\r\n\r\n", pos)
-        nxt = buf.find(_WARC_MAGIC, pos + len(_WARC_MAGIC))
-        if hdr_end < 0 or (0 <= nxt < hdr_end):
-            pos = nxt  # header block never terminated: resync
+    # the spec's second-resolution form plus the fractional-second form
+    # real writers (warcio, wget) emit; truncated to microseconds by %f
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(value, fmt)
+        except ValueError:
             continue
-        headers = _parse_headers(buf[pos + len(_WARC_MAGIC) : hdr_end])
+    return None
+
+
+def _scan_records(buf: bytes, final: bool) -> tuple[list[dict], int]:
+    """(complete records in ``buf``, consumed-byte offset). With
+    ``final=False`` a record that RUNS PAST the buffer end is left
+    unconsumed (its bytes continue in the next gzip member); with
+    ``final=True`` it is dropped as truncated. Every search is bounded
+    by the NEXT magic, so a malformed region costs one bounded scan —
+    not a rescan to end-of-buffer per resync (that was quadratic)."""
+    recs: list[dict] = []
+    consumed = 0
+    pos = _find_magic(buf, 0)
+    while pos >= 0:
+        nxt = _find_magic(buf, pos + _MAGIC_LEN)
+        bound = nxt if nxt >= 0 else len(buf)
+        hdr_end = buf.find(b"\r\n\r\n", pos, bound)
+        if hdr_end < 0:
+            if nxt < 0:
+                # header may continue in the next member
+                return recs, (len(buf) if final else pos)
+            consumed = pos = nxt  # header never terminated: resync
+            continue
+        headers = _parse_headers(buf[pos + _MAGIC_LEN : hdr_end])
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
             length = -1
+        if length < 0:  # headers complete but unusable: malformed, skip
+            if nxt < 0:
+                return recs, len(buf)
+            consumed = pos = nxt
+            continue
         content_start = hdr_end + 4
         content_end = content_start + length
-        if length < 0 or content_end > len(buf):
-            pos = nxt  # unparseable length / truncated content: resync
+        if content_end > len(buf):
+            if not final:
+                return recs, pos  # content continues in the next member
+            if nxt < 0:
+                return recs, len(buf)
+            consumed = pos = nxt  # truncated: resync
             continue
         content = buf[content_start:content_end]
         body = content
@@ -164,17 +196,48 @@ def iter_warc_records(buf: bytes) -> Iterator[dict]:
             split = content.find(b"\r\n\r\n")
             body = content[split + 4 :] if split >= 0 else b""
         date = _parse_date(headers.get("warc-date", ""))
-        url = headers.get("warc-target-uri", "")
         if date is not None:
-            yield {
-                "warc_type": headers.get("warc-type", ""),
-                "url": url,
-                "date": date,
-                "body": body,
-            }
+            recs.append(
+                {
+                    "warc_type": headers.get("warc-type", ""),
+                    "url": headers.get("warc-target-uri", ""),
+                    "date": date,
+                    "body": body,
+                }
+            )
+        consumed = content_end
         # next record begins after the content block's CRLFCRLF separator,
         # but resync on magic regardless (tolerates a missing separator)
-        pos = buf.find(_WARC_MAGIC, max(content_end, pos + len(_WARC_MAGIC)))
+        pos = _find_magic(buf, max(content_end, pos + _MAGIC_LEN))
+    if final:
+        return recs, len(buf)
+    # keep a magic-prefix-sized tail: a record magic can straddle members
+    return recs, max(consumed, len(buf) - (_MAGIC_LEN - 1))
+
+
+def iter_warc_records(buf: bytes) -> Iterator[dict]:
+    """Yield ``{"warc_type", "url", "date", "body"}`` per parseable WARC
+    1.0/1.1 record in ``buf`` (plain or concatenated-gzip). TOTAL: any
+    byte string yields zero or more records and never raises; malformed
+    records are skipped with magic-resync, every scan bounded by the
+    next magic (linear in input, even on hostile bytes).
+
+    Gzip archives are decompressed MEMBER AT A TIME with a carry-over
+    buffer for records that straddle members, so peak memory is one
+    decompressed member + one in-flight record — not the whole archive
+    (the point of Common Crawl's member-per-record layout)."""
+    if buf[:2] == _GZIP_MAGIC:
+        pending = b""
+        for chunk in _iter_gzip_members(buf):
+            pending += chunk
+            recs, consumed = _scan_records(pending, final=False)
+            yield from recs
+            pending = pending[consumed:]
+        recs, _ = _scan_records(pending, final=True)
+        yield from recs
+    else:
+        recs, _ = _scan_records(buf, final=True)
+        yield from recs
 
 
 def parse_warc_records(buf: bytes) -> list[dict]:
@@ -187,32 +250,31 @@ def parse_warc_records(buf: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def _parse_partitions(batches):
+    """mapInPandas kernel shared by the batch and streaming reads: only
+    *response* records with a target URI become rows — warcinfo /
+    request / metadata records are crawl bookkeeping, not pages."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for file_path, content in zip(pdf["path"], pdf["content"]):
+            for rec in iter_warc_records(bytes(content)):
+                if rec["warc_type"] == "response" and rec["url"]:
+                    rows.append(
+                        (file_path, rec["url"], rec["date"], rec["body"])
+                    )
+        yield pd.DataFrame(rows, columns=["path", "url", "warc_ts", "html"])
+
+
 def read_warc(spark, path: str):
     """``(path, url, warc_ts, html)`` DataFrame over WARC archive files.
 
     One binaryFile row per archive -> mapInPandas record parse. ZERO
     shuffles: the plan is scan -> mapInPandas (tests assert 0
-    exchanges). Only *response* records with a target URI become rows —
-    warcinfo/request/metadata records are crawl bookkeeping, not pages.
-    """
-    import pandas as pd
-
+    exchanges)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for file_path, content in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(content)):
-                    if rec["warc_type"] == "response" and rec["url"]:
-                        rows.append(
-                            (file_path, rec["url"], rec["date"], rec["body"])
-                        )
-            yield pd.DataFrame(
-                rows, columns=["path", "url", "warc_ts", "html"]
-            )
-
-    return files.mapInPandas(parse, WARC_SCHEMA)
+    return files.mapInPandas(_parse_partitions, WARC_SCHEMA)
 
 
 def read_warc_stream(spark, path: str, max_files_per_trigger: int = 1):
@@ -241,32 +303,22 @@ def read_warc_stream(spark, path: str, max_files_per_trigger: int = 1):
         .select("path", "content")
     )
 
-    import pandas as pd
-
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for file_path, content in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(content)):
-                    if rec["warc_type"] == "response" and rec["url"]:
-                        rows.append(
-                            (file_path, rec["url"], rec["date"], rec["body"])
-                        )
-            yield pd.DataFrame(
-                rows, columns=["path", "url", "warc_ts", "html"]
-            )
-
-    return files.mapInPandas(parse, WARC_SCHEMA).withColumn(
+    return files.mapInPandas(_parse_partitions, WARC_SCHEMA).withColumn(
         "crawl_id", F.xxhash64("path", "url", "warc_ts")
     )
 
 
 def warc_pages(spark, path: str):
     """WARC archives -> the engine's input-hint page shape
-    ``(url, warc_ts, html, text, lang)``, ready for the recrawl tier and
-    content dedup. text/lang are the NATIVE Catalyst kernels
-    (functions/text.py) — the only Python in the whole read is the
-    record parse itself."""
+    ``(crawl_id, url, warc_ts, html, text, lang)``, ready for the
+    recrawl tier and content dedup. text/lang are the NATIVE Catalyst
+    kernels (functions/text.py) — the only Python in the whole read is
+    the record parse itself.
+
+    ``crawl_id = xxhash64(path, url, warc_ts)`` is content-derived, so
+    downstream tie-breaks (``latest_crawl_per_url(id_col="crawl_id")``)
+    and doc ids are DETERMINISTIC across runs, task retries, and
+    replays — never an arrival counter."""
     from pyspark.sql import functions as F
 
     from neural_locality_sensitive_hashing_spark.functions.text import (
@@ -276,6 +328,7 @@ def warc_pages(spark, path: str):
 
     pages = read_warc(spark, path)
     return pages.select(
+        F.xxhash64("path", "url", "warc_ts").alias("crawl_id"),
         "url",
         "warc_ts",
         "html",

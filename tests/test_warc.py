@@ -154,10 +154,10 @@ def test_warc_to_recrawl_tier_end_to_end(spark, tmp_path):
     (tmp_path / "crawl.warc.gz").write_bytes(encode_warc(recs))
 
     pages = warc_pages(spark, str(tmp_path))
-    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert set(pages.columns) == {"crawl_id", "url", "warc_ts", "html", "text", "lang"}
     latest = {
         r.canonical_url: r
-        for r in latest_crawl_per_url(pages, id_col="warc_ts").collect()
+        for r in latest_crawl_per_url(pages, id_col="crawl_id").collect()
     }
     assert len(latest) == 2
     art = latest["https://example.com/article"]
@@ -288,3 +288,62 @@ def test_streaming_warc_ingestion_matches_batch_tier(spark, tmp_path):
     assert by_canon["https://a.com/x"][3] == 3
     assert by_canon["https://b.com/y"][2] == datetime(2024, 5, 1, 1, 0, 0)
     assert by_canon["https://b.com/y"][3] == 2
+
+
+def test_warc_11_and_fractional_dates():
+    """WARC/1.1 archives and fractional-second WARC-Date (what warcio /
+    wget emit) must parse — a version or date-format mismatch must not
+    silently drop every record."""
+    rec = encode_warc(
+        [{"url": "https://v.com/p", "date": datetime(2024, 6, 1, 8, 0, 0),
+          "html": b"<html><main>v</main></html>"}],
+        gzip_members=False,
+    )
+    as11 = rec.replace(b"WARC/1.0\r\n", b"WARC/1.1\r\n", 1)
+    got = parse_warc_records(as11)
+    assert len(got) == 1 and got[0]["url"] == "https://v.com/p"
+
+    frac = rec.replace(
+        b"WARC-Date: 2024-06-01T08:00:00Z",
+        b"WARC-Date: 2024-06-01T08:00:00.123456Z",
+    )
+    # same byte length not guaranteed -> fix Content-Length is NOT needed:
+    # WARC-Date is a header, content-length covers only the content block
+    got = parse_warc_records(frac)
+    assert len(got) == 1
+    assert got[0]["date"] == datetime(2024, 6, 1, 8, 0, 0, 123456)
+
+
+def test_hostile_magic_flood_parses_in_linear_time():
+    """A region of back-to-back record magics with no header terminator
+    used to cost a rescan-to-EOF per magic (quadratic: ~minutes at 128k
+    magics). Bounded resync makes it linear; generous wall canary."""
+    import time
+
+    flood = b"WARC/1.0\r\n" * 131072  # 1.3 MB of pure magic
+    t0 = time.perf_counter()
+    out = parse_warc_records(flood + b"garbage tail")
+    dt = time.perf_counter() - t0
+    assert out == []
+    assert dt < 10.0, f"magic flood took {dt:.1f}s — resync regressed to quadratic?"
+
+
+def test_record_straddling_gzip_members():
+    """A record whose bytes are split across TWO gzip members must still
+    parse: the member-at-a-time walk carries the partial record over
+    instead of dropping it (and never holds the whole archive
+    decompressed)."""
+    import zlib
+
+    recs = _records(3, seed=31)
+    raw = encode_warc(recs, gzip_members=False)
+    # split mid-record-2: find the second magic and cut 40 bytes past it
+    second = raw.index(b"WARC/1.0\r\n", 10)
+    cut = second + 40
+    members = b""
+    for part in (raw[:cut], raw[cut:]):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        members += co.compress(part) + co.flush()
+    got = parse_warc_records(members)
+    assert [g["url"] for g in got] == [r["url"] for r in recs]
+    assert [g["body"] for g in got] == [r["html"] for r in recs]

@@ -99,14 +99,21 @@ def main() -> None:
             os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
         ) / 1e6
 
+        n_threads = master.split("[")[1].rstrip("]") if "[" in master else ""
         spark = spark_session(
             "bench_warc", master=master,
-            shuffle_partitions=int(master.split("[")[1].rstrip("]")),
+            shuffle_partitions=int(n_threads) if n_threads.isdigit() else None,
         )
         stages = {
             "parse": lambda: read_warc(spark, d).count(),
+            # production shape: narrow BEFORE the window (run_dedup_job
+            # measured that shuffling the html payload doubles this
+            # stage) and tie-break on the content-derived crawl_id
             "first_tier": lambda: latest_crawl_per_url(
-                warc_pages(spark, d), id_col="warc_ts"
+                warc_pages(spark, d).select(
+                    "crawl_id", "url", "warc_ts", "text"
+                ),
+                id_col="crawl_id",
             ).count(),
         }
         out = {

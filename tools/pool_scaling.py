@@ -62,6 +62,12 @@ def main() -> None:
 
     lo_walls.sort()
     hi_walls.sort()
+    # scaling factor from the pair label itself ("1x1,4x1" -> 4), not a
+    # hardcoded 4: pooling a non-4x pair must not silently compute
+    # efficiency against the wrong ideal
+    lo_spec, hi_spec = pair_label.split(",")
+    cores = lambda s: int(s.split("x")[0]) * int(s.split("x")[1])  # noqa: E731
+    factor = cores(hi_spec) / cores(lo_spec)
     dps = lambda w: docs / w  # noqa: E731
     out = {
         "mode": "executors",
@@ -71,10 +77,10 @@ def main() -> None:
         "sessions": [os.path.basename(p) for p in session_paths],
         "lo_walls": lo_walls,
         "hi_walls": hi_walls,
-        "eff_min": round(dps(min(hi_walls)) / (4.0 * dps(min(lo_walls))), 3),
+        "eff_min": round(dps(min(hi_walls)) / (factor * dps(min(lo_walls))), 3),
         "eff_median": round(
             dps(statistics.median(hi_walls))
-            / (4.0 * dps(statistics.median(lo_walls))),
+            / (factor * dps(statistics.median(lo_walls))),
             3,
         ),
         "clusters": clusters,

@@ -168,14 +168,18 @@ def main() -> None:
     )
 
     if args.from_warc:
-        from pyspark.sql import functions as F
-
         from neural_locality_sensitive_hashing_spark.sources.warc import warc_pages
 
-        # per-record id: unique within the run (all downstream stages need
-        # doc_id only as a distinct member/tiebreak key, never across runs)
-        pages = warc_pages(spark, args.pages).withColumn(
-            "doc_id", F.monotonically_increasing_id()
+        # doc_id = the source's content-derived crawl_id (xxhash64 of
+        # path+url+warc_ts): stable across actions, task retries, and
+        # speculative re-execution — an arrival counter is NOT, and this
+        # lineage is re-executed by several downstream actions. persist()
+        # so the count + signature build don't each re-gunzip and
+        # re-parse every archive.
+        pages = (
+            warc_pages(spark, args.pages)
+            .withColumnRenamed("crawl_id", "doc_id")
+            .persist()
         )
     else:
         pages = spark.read.parquet(args.pages)
