@@ -54,6 +54,7 @@ WARC_SCHEMA = "path string, url string, warc_ts timestamp, html binary"
 def encode_warc(
     records: Iterable[dict],
     gzip_members: bool = True,
+    id_offset: int = 0,
 ) -> bytes:
     """WARC/1.0 bytes for an iterable of ``{"url", "date", "html"}``
     dicts (``date``: aware-or-naive UTC datetime; ``html``: bytes).
@@ -63,7 +64,7 @@ def encode_warc(
     ``gzip_members=True`` (the CC default) each record is its own gzip
     member so readers can stream member-at-a-time."""
     out = []
-    for i, rec in enumerate(records):
+    for i, rec in enumerate(records, start=id_offset):
         body: bytes = rec["html"]
         http = (
             b"HTTP/1.1 200 OK\r\n"
@@ -334,3 +335,67 @@ def warc_pages(spark, path: str):
         "html",
         extract_text(F.col("html")).alias("text"),
     ).withColumn("lang", lang_id(F.col("text")))
+
+
+# ---------------------------------------------------------------------------
+# Spark sink
+# ---------------------------------------------------------------------------
+
+
+def write_warc(pages, out_dir: str, gzip_members: bool = True):
+    """Distributed WARC sink — the inverse of :func:`read_warc`: a
+    ``(url, warc_ts, html)`` DataFrame becomes one Common-Crawl-layout
+    archive per partition (``part-NNNNN.warc[.gz]``), so dedup survivors
+    / keep-list output can be re-shipped to WARC-consuming tooling
+    without a collect.
+
+    Spark shape: each task streams ITS OWN partition through
+    ``encode_warc`` and writes one file — no shuffle is introduced
+    (repartition upstream if you want to choose the archive count), no
+    driver materialization, and the write is task-retry-safe: bytes go
+    to ``.tmp-<uuid>`` first and are atomically renamed, so a retried
+    task never leaves a half archive with the final name.
+
+    Returns a ``(file, records)`` manifest DataFrame (one row per
+    written archive; the action that triggers the write is the caller's
+    — e.g. ``.collect()`` on the manifest)."""
+    import os as _os
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    _os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def write_partition(batches):
+        # stream the partition's batches into one archive
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        final = _os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}{ext}")
+        n = 0
+        with open(tmp, "wb") as fh:
+            for pdf in batches:
+                recs = [
+                    {
+                        "url": u,
+                        "date": t.to_pydatetime(),
+                        "html": bytes(h),
+                    }
+                    for u, t, h in zip(
+                        pdf["url"], pdf["warc_ts"], pdf["html"]
+                    )
+                ]
+                fh.write(
+                    encode_warc(
+                        recs, gzip_members=gzip_members, id_offset=n
+                    )
+                )
+                n += len(recs)
+        _os.replace(tmp, final)  # atomic: retries never leave half files
+        yield pd.DataFrame({"file": [final], "records": [n]})
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        write_partition, "file string, records long"
+    )
