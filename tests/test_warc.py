@@ -209,10 +209,12 @@ def test_job_tool_from_warc_end_to_end(tmp_path):
     (tmp_path / "crawl.warc.gz").write_bytes(encode_warc(recs))
 
     out = tmp_path / "report.json"
+    survivors_dir = tmp_path / "survivors"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "run_dedup_job.py"),
          "--pages", str(tmp_path), "--from-warc", "--recrawl-dedup",
+         "--survivors-warc-out", str(survivors_dir),
          "--shuffle-partitions", "8", "--json-out", str(out)],
         check=True, cwd=repo, timeout=420,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -222,6 +224,17 @@ def test_job_tool_from_warc_end_to_end(tmp_path):
     assert rep["docs"] == 60              # 55 pages + 5 recrawl variants
     assert rep["clusters"] == 50          # page0's 6 copies -> one cluster
     assert rep["dup_pairs"] >= 5
+    # archives in -> deduplicated archives out: the survivor WARC holds
+    # exactly one page per cluster, re-readable by the same source
+    assert rep["survivors_warc"]["records"] == 50
+    input_urls = {r["url"] for r in recs}
+    survivor_rows = []
+    for f in os.listdir(survivors_dir):
+        survivor_rows += parse_warc_records(
+            (survivors_dir / f).read_bytes()
+        )
+    assert len(survivor_rows) == 50
+    assert {r["url"] for r in survivor_rows} <= input_urls
 
 
 def test_streaming_warc_ingestion_matches_batch_tier(spark, tmp_path):

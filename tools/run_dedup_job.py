@@ -35,6 +35,28 @@ def _input_token(pages_path: str, n_docs: int) -> str:
     return h.hexdigest()[:24]
 
 
+def _write_survivors_warc(pages_full, clusters, out_dir: str) -> dict:
+    """Keep-list pages (one per cluster: doc_id == cluster_id) re-shipped
+    as WARC archives via the distributed sink — one shuffle (the doc_id
+    join back to the full pages), one archive per partition."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.sources.warc import write_warc
+
+    survivors = clusters.where(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    kept = pages_full.join(survivors, "doc_id").select(
+        "url", "warc_ts", "html"
+    )
+    manifest = write_warc(kept, out_dir).collect()
+    return {
+        "dir": out_dir,
+        "files": len(manifest),
+        "records": int(sum(m.records for m in manifest)),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
@@ -46,6 +68,13 @@ def main() -> None:
         "-> mapInPandas) into the (url, warc_ts, html, text, lang) page "
         "shape and doc_id is assigned per record — the whole pipeline then "
         "runs from raw crawl files; pairs naturally with --recrawl-dedup",
+    )
+    ap.add_argument(
+        "--survivors-warc-out", default=None,
+        help="(--from-warc only) write the dedup SURVIVORS — the keep-list "
+        "pages, one row per cluster — back out as Common-Crawl-layout WARC "
+        "archives (sources/warc.py write_warc, one archive per partition): "
+        "crawl archives in, deduplicated crawl archives out",
     )
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -122,6 +151,10 @@ def main() -> None:
     if args.with_simhash and args.shingle_bytes != 8:
         ap.error("--with-simhash requires --shingle-bytes 8 (the 64-bit "
                  "SimHash contract is defined over 64-bit shingle hashes)")
+    if args.survivors_warc_out and not args.from_warc:
+        ap.error("--survivors-warc-out needs --from-warc (only the WARC "
+                 "input path carries the url/warc_ts/html page columns "
+                 "the archive writer re-ships)")
     if args.checkpoint_dir and (args.with_simhash or args.with_longrepeat):
         # validate BEFORE the JVM starts and the input is scanned
         ap.error("--checkpoint-dir covers the exact-Jaccard pipeline; "
@@ -184,6 +217,10 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.pages)
     n_docs = pages.count()
+    # full-page handle for --survivors-warc-out, captured BEFORE the
+    # recrawl tier narrows columns (its window deliberately drops html);
+    # the survivor join on doc_id picks the right subset either way
+    pages_full = pages
     if args.recrawl_dedup:
         from neural_locality_sensitive_hashing_spark.operators.recrawl import (
             latest_crawl_per_url,
@@ -232,6 +269,10 @@ def main() -> None:
             kl = pipe.catalog.read_snapshot("keep_list")
             kl.write.mode("overwrite").parquet(args.keep_list_out)
             report["keep_list_out"] = args.keep_list_out
+        if args.survivors_warc_out:
+            report["survivors_warc"] = _write_survivors_warc(
+                pages_full, clusters, args.survivors_warc_out
+            )
         line = json.dumps(report)
         print(line)
         if args.json_out:
@@ -315,6 +356,10 @@ def main() -> None:
             .parquet(args.keep_list_out)
         )
         report["keep_list_out"] = args.keep_list_out
+    if args.survivors_warc_out:
+        report["survivors_warc"] = _write_survivors_warc(
+            pages_full, clusters, args.survivors_warc_out
+        )
     line = json.dumps(report)
     print(line)
     if args.json_out:
