@@ -19,10 +19,10 @@ Spark shape, sized for 100 TB: a crawl is tens of thousands of ~1 GB
 archive files. ``spark.read.format("binaryFile")`` yields one row per
 file and ``mapInPandas`` parses records inside each payload, so the
 parallelism IS the file count: one task per archive, ZERO shuffles (the
-physical plan is scan -> mapInPandas, asserted in tests). Per-record
-gzip members keep peak memory at one archive per task regardless of
-corpus size. Gzip is decompressed member-at-a-time (zlib
-``unused_data`` walk), never whole-file-at-once.
+physical plan is scan -> mapInPandas, asserted in tests). Gzip is
+decompressed in fixed-size chunks (linear multi-member GzipFile walk)
+with a carry-over scanner, so peak decompressed memory is ~one chunk +
+one in-flight record, never the whole archive.
 
 Totality contract (same as the codec family): a malformed, truncated,
 or hostile record is SKIPPED — the parser resynchronizes on the next
@@ -43,7 +43,9 @@ _GZIP_MAGIC = b"\x1f\x8b"
 # (bytes are the ground truth; charset decode is downstream's choice) —
 # warc_pages() casts to string inside extract_text, matching the planted
 # crawls table where html = encode(text).
-WARC_SCHEMA = "path string, url string, warc_ts timestamp, html binary"
+WARC_SCHEMA = (
+    "path string, seq long, url string, warc_ts timestamp, html binary"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -99,6 +101,10 @@ def encode_warc(
 
 
 _MAGIC_LEN = len(_WARC_MAGIC)  # "WARC/1.x\r\n" is always 10 bytes
+# spec header blocks are well under a KB; past this an unterminated
+# header is treated as malformed, bounding carry-over memory and rescans
+# on hostile never-terminating input
+_MAX_HEADER = 1 << 20
 
 
 def _find_magic(buf: bytes, start: int) -> int:
@@ -113,21 +119,40 @@ def _find_magic(buf: bytes, start: int) -> int:
     return -1
 
 
-def _iter_gzip_members(buf: bytes) -> Iterator[bytes]:
-    """Decompress concatenated gzip members ONE AT A TIME — peak memory
-    is a single member, and a truncated/corrupt tail yields the members
-    that decompressed cleanly instead of raising."""
-    rest = buf
-    while rest[:2] == _GZIP_MAGIC:
+_GZIP_CHUNK = 1 << 22  # 4 MB decompressed chunks
+
+
+_GZIP_FEED = 1 << 16  # compressed bytes fed to zlib per step
+
+
+def _iter_gzip_chunks(buf: bytes) -> Iterator[bytes]:
+    """Decompressed chunks of a (multi-member) gzip stream, LINEAR in
+    the archive: the compressed buffer is walked by OFFSET with bounded
+    64 KB feeds, so per member at most one feed-sized tail is re-fed —
+    never the `d.unused_data` whole-remaining-buffer copy (O(members ×
+    size) memcpy on Common Crawl's member-per-record layout), and never
+    gzip.GzipFile's behavior of discarding cleanly-decompressed data
+    when a LATER member is corrupt. Member boundaries are irrelevant to
+    the caller: the record scanner carries partial records across any
+    chunking. A truncated or corrupt tail yields what decompressed
+    cleanly, then stops — never raises."""
+    mv = memoryview(buf)
+    off = 0
+    n = len(buf)
+    while off < n and buf[off : off + 2] == _GZIP_MAGIC:
         d = zlib.decompressobj(47)  # 47 = auto-detect gzip wrapper
         try:
-            chunk = d.decompress(rest)
+            while not d.eof and off < n:
+                fed = bytes(mv[off : off + _GZIP_FEED])
+                off += len(fed)
+                chunk = d.decompress(fed)
+                if chunk:
+                    yield chunk
         except zlib.error:
             return
-        yield chunk
-        if not d.eof:  # truncated final member
+        if not d.eof:  # ran out of bytes mid-member: truncated tail
             return
-        rest = d.unused_data
+        off -= len(d.unused_data)  # return the overfed tail (<= one feed)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -152,13 +177,22 @@ def _parse_date(value: str) -> datetime | None:
     return None
 
 
-def _scan_records(buf: bytes, final: bool) -> tuple[list[dict], int]:
-    """(complete records in ``buf``, consumed-byte offset). With
-    ``final=False`` a record that RUNS PAST the buffer end is left
-    unconsumed (its bytes continue in the next gzip member); with
+def _scan_records(buf: bytes, final: bool) -> tuple[list[dict], int, int]:
+    """(complete records in ``buf``, consumed-byte offset, need-hint).
+    With ``final=False`` a record that RUNS PAST the buffer end is left
+    unconsumed (its bytes continue in the next chunk); with
     ``final=True`` it is dropped as truncated. Every search is bounded
     by the NEXT magic, so a malformed region costs one bounded scan —
-    not a rescan to end-of-buffer per resync (that was quadratic)."""
+    not a rescan to end-of-buffer per resync (that was quadratic).
+
+    The third element is a progress hint for the incremental driver: the
+    minimum ``len(buf)`` at which rescanning can make progress (0 = no
+    in-flight record). A giant record spanning many chunks is rescanned
+    once when enough bytes have arrived, not once per chunk. Headers are
+    capped at ``_MAX_HEADER`` bytes — past that an unterminated header
+    block is malformed, which bounds carry-over memory on hostile
+    never-terminating input."""
+    tail_keep = _MAGIC_LEN - 1  # a magic can straddle chunk boundaries
     recs: list[dict] = []
     consumed = 0
     pos = _find_magic(buf, 0)
@@ -168,8 +202,12 @@ def _scan_records(buf: bytes, final: bool) -> tuple[list[dict], int]:
         hdr_end = buf.find(b"\r\n\r\n", pos, bound)
         if hdr_end < 0:
             if nxt < 0:
-                # header may continue in the next member
-                return recs, (len(buf) if final else pos)
+                if not final and len(buf) - pos <= _MAX_HEADER:
+                    # header may continue in the next chunk: need at
+                    # least one more byte past what we have (post-slice)
+                    return recs, pos, len(buf) - pos + 1
+                # truncated (final) or implausibly long header: malformed
+                return recs, max(consumed, len(buf) - tail_keep), 0
             consumed = pos = nxt  # header never terminated: resync
             continue
         headers = _parse_headers(buf[pos + _MAGIC_LEN : hdr_end])
@@ -179,16 +217,18 @@ def _scan_records(buf: bytes, final: bool) -> tuple[list[dict], int]:
             length = -1
         if length < 0:  # headers complete but unusable: malformed, skip
             if nxt < 0:
-                return recs, len(buf)
+                return recs, max(consumed, len(buf) - tail_keep), 0
             consumed = pos = nxt
             continue
         content_start = hdr_end + 4
         content_end = content_start + length
         if content_end > len(buf):
             if not final:
-                return recs, pos  # content continues in the next member
+                # content continues in the next chunk: no rescan until
+                # the record's full span is present (post-slice length)
+                return recs, pos, content_end - pos
             if nxt < 0:
-                return recs, len(buf)
+                return recs, max(consumed, len(buf) - tail_keep), 0
             consumed = pos = nxt  # truncated: resync
             continue
         content = buf[content_start:content_end]
@@ -211,9 +251,9 @@ def _scan_records(buf: bytes, final: bool) -> tuple[list[dict], int]:
         # but resync on magic regardless (tolerates a missing separator)
         pos = _find_magic(buf, max(content_end, pos + _MAGIC_LEN))
     if final:
-        return recs, len(buf)
-    # keep a magic-prefix-sized tail: a record magic can straddle members
-    return recs, max(consumed, len(buf) - (_MAGIC_LEN - 1))
+        return recs, len(buf), 0
+    # keep a magic-prefix-sized tail: a record magic can straddle chunks
+    return recs, max(consumed, len(buf) - tail_keep), 0
 
 
 def iter_warc_records(buf: bytes) -> Iterator[dict]:
@@ -223,21 +263,27 @@ def iter_warc_records(buf: bytes) -> Iterator[dict]:
     records are skipped with magic-resync, every scan bounded by the
     next magic (linear in input, even on hostile bytes).
 
-    Gzip archives are decompressed MEMBER AT A TIME with a carry-over
-    buffer for records that straddle members, so peak memory is one
-    decompressed member + one in-flight record — not the whole archive
-    (the point of Common Crawl's member-per-record layout)."""
+    Gzip archives are decompressed in fixed-size chunks (linear-time
+    multi-member GzipFile walk) with a carry-over buffer for records
+    that straddle chunks, so peak memory is ~one chunk + one in-flight
+    record — not the whole decompressed archive. The scanner's
+    need-hint skips rescans until a straddling record can be complete,
+    and its header cap bounds carry-over on hostile never-terminating
+    input."""
     if buf[:2] == _GZIP_MAGIC:
         pending = b""
-        for chunk in _iter_gzip_members(buf):
+        need = 0
+        for chunk in _iter_gzip_chunks(buf):
             pending += chunk
-            recs, consumed = _scan_records(pending, final=False)
+            if len(pending) < need:
+                continue  # in-flight record still incomplete: no rescan
+            recs, consumed, need = _scan_records(pending, final=False)
             yield from recs
             pending = pending[consumed:]
-        recs, _ = _scan_records(pending, final=True)
+        recs, _, _ = _scan_records(pending, final=True)
         yield from recs
     else:
-        recs, _ = _scan_records(buf, final=True)
+        recs, _, _ = _scan_records(buf, final=True)
         yield from recs
 
 
@@ -260,12 +306,18 @@ def _parse_partitions(batches):
     for pdf in batches:
         rows = []
         for file_path, content in zip(pdf["path"], pdf["content"]):
-            for rec in iter_warc_records(bytes(content)):
+            # seq = parse-order ordinal within the file: (path, seq)
+            # uniquely names a record even when one URL is fetched twice
+            # in the same second (WARC-Date is second-resolution), and
+            # is deterministic across runs, retries, and replays
+            for seq, rec in enumerate(iter_warc_records(bytes(content))):
                 if rec["warc_type"] == "response" and rec["url"]:
                     rows.append(
-                        (file_path, rec["url"], rec["date"], rec["body"])
+                        (file_path, seq, rec["url"], rec["date"], rec["body"])
                     )
-        yield pd.DataFrame(rows, columns=["path", "url", "warc_ts", "html"])
+        yield pd.DataFrame(
+            rows, columns=["path", "seq", "url", "warc_ts", "html"]
+        )
 
 
 def read_warc(spark, path: str):
@@ -284,8 +336,9 @@ def read_warc_stream(spark, path: str, max_files_per_trigger: int = 1):
     (``maxFilesPerTrigger`` archives each) of ``(crawl_id, path, url,
     warc_ts, html)`` rows.
 
-    ``crawl_id = xxhash64(path, url, warc_ts)`` is DETERMINISTIC over the
-    file content, not an arrival counter — a replayed micro-batch (the
+    ``crawl_id = xxhash64(path, seq)`` (seq = parse-order ordinal within
+    the file) is DETERMINISTIC over the file content, not an arrival
+    counter — and unique even for same-URL-same-second re-fetches — a replayed micro-batch (the
     foreachBatch at-least-once window) reproduces bit-identical rows,
     which the incremental store's ``last_batch_id`` replay guard
     requires. Same zero-shuffle shape as the batch read: file listing ->
@@ -305,7 +358,7 @@ def read_warc_stream(spark, path: str, max_files_per_trigger: int = 1):
     )
 
     return files.mapInPandas(_parse_partitions, WARC_SCHEMA).withColumn(
-        "crawl_id", F.xxhash64("path", "url", "warc_ts")
+        "crawl_id", F.xxhash64("path", "seq")
     )
 
 
@@ -316,7 +369,10 @@ def warc_pages(spark, path: str):
     kernels (functions/text.py) — the only Python in the whole read is
     the record parse itself.
 
-    ``crawl_id = xxhash64(path, url, warc_ts)`` is content-derived, so
+    ``crawl_id = xxhash64(path, seq)`` (seq = the record parse-order
+    ordinal within its file) is content-derived AND unique per record
+    — same-URL-same-second re-fetches collide on (url, warc_ts) but
+    never on (path, seq) — so
     downstream tie-breaks (``latest_crawl_per_url(id_col="crawl_id")``)
     and doc ids are DETERMINISTIC across runs, task retries, and
     replays — never an arrival counter."""
@@ -329,7 +385,7 @@ def warc_pages(spark, path: str):
 
     pages = read_warc(spark, path)
     return pages.select(
-        F.xxhash64("path", "url", "warc_ts").alias("crawl_id"),
+        F.xxhash64("path", "seq").alias("crawl_id"),
         "url",
         "warc_ts",
         "html",
@@ -356,6 +412,11 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
     to ``.tmp-<uuid>`` first and are atomically renamed, so a retried
     task never leaves a half archive with the final name.
 
+    Rows with a null url, warc_ts, or html are FILTERED (WARC cannot
+    represent them), and stale ``part-*``/``.tmp-*`` archives from a
+    previous run into the same directory are cleared at call time, so a
+    narrower re-run never leaves a mixed directory.
+
     Returns a ``(file, records)`` manifest DataFrame (one row per
     written archive; the action that triggers the write is the caller's
     — e.g. ``.collect()`` on the manifest)."""
@@ -366,6 +427,11 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
     from pyspark import TaskContext
 
     _os.makedirs(out_dir, exist_ok=True)
+    # clear stale output: a re-run with FEWER partitions must not leave
+    # part files from a previous, wider run mixed into the directory
+    for stale in _os.listdir(out_dir):
+        if stale.startswith(("part-", ".tmp-")) and ".warc" in stale:
+            _os.unlink(_os.path.join(out_dir, stale))
     ext = ".warc.gz" if gzip_members else ".warc"
 
     def write_partition(batches):
@@ -396,6 +462,13 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
         _os.replace(tmp, final)  # atomic: retries never leave half files
         yield pd.DataFrame({"file": [final], "records": [n]})
 
-    return pages.select("url", "warc_ts", "html").mapInPandas(
-        write_partition, "file string, records long"
+    from pyspark.sql import functions as F
+
+    # WARC cannot represent a record without a URI, a date, or a payload:
+    # null rows are filtered (documented), not crashed on mid-task
+    cleaned = pages.select("url", "warc_ts", "html").where(
+        F.col("url").isNotNull()
+        & F.col("warc_ts").isNotNull()
+        & F.col("html").isNotNull()
     )
+    return cleaned.mapInPandas(write_partition, "file string, records long")

@@ -154,7 +154,9 @@ def test_warc_to_recrawl_tier_end_to_end(spark, tmp_path):
     (tmp_path / "crawl.warc.gz").write_bytes(encode_warc(recs))
 
     pages = warc_pages(spark, str(tmp_path))
-    assert set(pages.columns) == {"crawl_id", "url", "warc_ts", "html", "text", "lang"}
+    assert set(pages.columns) == {
+        "crawl_id", "url", "warc_ts", "html", "text", "lang"
+    }
     latest = {
         r.canonical_url: r
         for r in latest_crawl_per_url(pages, id_col="crawl_id").collect()
@@ -285,7 +287,7 @@ def test_streaming_warc_ingestion_matches_batch_tier(spark, tmp_path):
 
     batch = latest_crawl_per_url(
         read_warc(spark, str(warc_dir)).withColumn(
-            "crawl_id", F.xxhash64("path", "url", "warc_ts")
+            "crawl_id", F.xxhash64("path", "seq")
         ),
         id_col="crawl_id",
     )
@@ -392,3 +394,66 @@ def test_warc_sink_roundtrip(spark, tmp_path):
     for want in recs:
         assert bytes(back[want["url"]].html) == want["html"]
         assert back[want["url"]].warc_ts == want["date"]
+
+
+def test_carryover_with_tiny_chunks(monkeypatch):
+    """Force 64-byte decompression chunks so every record straddles
+    chunk boundaries: the carry-over scanner + need-hint must still
+    yield every record exactly once, in order."""
+    from neural_locality_sensitive_hashing_spark.sources import warc as w
+
+    monkeypatch.setattr(w, "_GZIP_CHUNK", 64)
+    recs = _records(5, seed=51)
+    got = w.parse_warc_records(w.encode_warc(recs))
+    assert [g["url"] for g in got] == [r["url"] for r in recs]
+    assert [g["body"] for g in got] == [r["html"] for r in recs]
+
+
+def test_malformed_record_then_valid_across_chunks(monkeypatch):
+    """A record whose headers terminate but lack Content-Length, with
+    the NEXT valid record's magic arriving in a later chunk: the
+    malformed-skip path must keep the magic-prefix tail so the valid
+    record still parses (it used to be silently consumed)."""
+    import zlib as _zlib
+
+    from neural_locality_sensitive_hashing_spark.sources import warc as w
+
+    monkeypatch.setattr(w, "_GZIP_CHUNK", 32)
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Date: 2024-07-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: https://bad.com/x\r\n"
+        b"\r\n"  # headers end; no Content-Length at all
+    )
+    good_rec = {
+        "url": "https://good.com/y",
+        "date": datetime(2024, 7, 2, 0, 0, 0),
+        "html": b"<html><main>fine</main></html>",
+    }
+    raw = bad + w.encode_warc([good_rec], gzip_members=False)
+    co = _zlib.compressobj(6, _zlib.DEFLATED, 31)
+    gz = co.compress(raw) + co.flush()
+    got = w.parse_warc_records(gz)
+    assert [g["url"] for g in got] == ["https://good.com/y"]
+
+
+def test_hostile_unterminated_header_is_capped(monkeypatch):
+    """A never-terminating 2 MB header block must not grow the
+    carry-over buffer unboundedly: past _MAX_HEADER it is declared
+    malformed and a valid record after it still parses."""
+    from neural_locality_sensitive_hashing_spark.sources import warc as w
+
+    monkeypatch.setattr(w, "_GZIP_CHUNK", 1 << 16)
+    hostile = b"WARC/1.0\r\nX-Key: " + b"a" * (2 << 20)  # no CRLFCRLF ever
+    good_rec = {
+        "url": "https://after.com/z",
+        "date": datetime(2024, 7, 3, 0, 0, 0),
+        "html": b"<html><main>after the flood</main></html>",
+    }
+    import zlib as _zlib
+
+    raw = hostile + w.encode_warc([good_rec], gzip_members=False)
+    co = _zlib.compressobj(6, _zlib.DEFLATED, 31)
+    got = w.parse_warc_records(co.compress(raw) + co.flush())
+    assert [g["url"] for g in got] == ["https://after.com/z"]

@@ -4,8 +4,10 @@ Measures the raw-input end of the pipeline on synthetic Common-Crawl-
 layout archives (one gzip member per record):
 
   * parse    — binaryFile -> mapInPandas record parse, count of pages
-  * first_tier — warc_pages (parse + native text/lang kernels) ->
-                 latest_crawl_per_url -> count (the full N30 -> N19 path)
+  * first_tier — warc_pages narrowed to (crawl_id, url, warc_ts, text)
+                 -> latest_crawl_per_url -> count (the production N30 ->
+                 N19 shape; lang_id is pruned by the narrow, and html is
+                 deliberately kept out of the window exchange)
 
 Protocol matches BENCH/BASELINE.md discipline: deterministic input,
 3 trials per stage, median + min reported, conditions labeled. Archives
@@ -99,11 +101,10 @@ def main() -> None:
             os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
         ) / 1e6
 
-        n_threads = master.split("[")[1].rstrip("]") if "[" in master else ""
-        spark = spark_session(
-            "bench_warc", master=master,
-            shuffle_partitions=int(n_threads) if n_threads.isdigit() else None,
-        )
+        # shuffle_partitions=None -> session.py derives it from the
+        # master (handles local[N], local[*], cluster masters) — no
+        # second copy of that parsing here
+        spark = spark_session("bench_warc", master=master, shuffle_partitions=None)
         stages = {
             "parse": lambda: read_warc(spark, d).count(),
             # production shape: narrow BEFORE the window (run_dedup_job

@@ -204,11 +204,11 @@ def main() -> None:
         from neural_locality_sensitive_hashing_spark.sources.warc import warc_pages
 
         # doc_id = the source's content-derived crawl_id (xxhash64 of
-        # path+url+warc_ts): stable across actions, task retries, and
-        # speculative re-execution — an arrival counter is NOT, and this
-        # lineage is re-executed by several downstream actions. persist()
-        # so the count + signature build don't each re-gunzip and
-        # re-parse every archive.
+        # path + in-file record ordinal): unique per record and stable
+        # across actions, task retries, and speculative re-execution —
+        # an arrival counter is NOT, and this lineage is re-executed by
+        # several downstream actions. persist() so the count + signature
+        # build don't each re-gunzip and re-parse every archive.
         pages = (
             warc_pages(spark, args.pages)
             .withColumnRenamed("crawl_id", "doc_id")
