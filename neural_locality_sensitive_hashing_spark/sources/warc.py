@@ -20,7 +20,7 @@ archive files. ``spark.read.format("binaryFile")`` yields one row per
 file and ``mapInPandas`` parses records inside each payload, so the
 parallelism IS the file count: one task per archive, ZERO shuffles (the
 physical plan is scan -> mapInPandas, asserted in tests). Gzip is
-decompressed in fixed-size chunks (linear multi-member GzipFile walk)
+decompressed in fixed-size chunks (linear offset-walked multi-member zlib)
 with a carry-over scanner, so peak decompressed memory is ~one chunk +
 one in-flight record, never the whole archive.
 
@@ -53,6 +53,16 @@ WARC_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 
+def _format_date(date: datetime) -> str:
+    """Spec second-resolution form, or the fractional form when the
+    datetime carries sub-second precision — so read -> write -> read
+    round-trips warc_ts exactly for warcio/wget-style inputs too."""
+    base = date.strftime("%Y-%m-%dT%H:%M:%S")
+    if date.microsecond:
+        return f"{base}.{date.microsecond:06d}Z"
+    return base + "Z"
+
+
 def encode_warc(
     records: Iterable[dict],
     gzip_members: bool = True,
@@ -81,7 +91,7 @@ def encode_warc(
             _WARC_MAGIC
             + b"WARC-Type: response\r\n"
             + b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-%012d>\r\n" % i
-            + b"WARC-Date: " + date.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            + b"WARC-Date: " + _format_date(date).encode() + b"\r\n"
             + b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
             + b"Content-Type: application/http; msgtype=response\r\n"
             + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
@@ -105,6 +115,11 @@ _MAGIC_LEN = len(_WARC_MAGIC)  # "WARC/1.x\r\n" is always 10 bytes
 # header is treated as malformed, bounding carry-over memory and rescans
 # on hostile never-terminating input
 _MAX_HEADER = 1 << 20
+# carry-over cap for one record's content: a hostile/corrupt
+# Content-Length past this is treated as malformed instead of buffering
+# the rest of the archive waiting for bytes that never suffice (CC caps
+# response records well below this)
+_MAX_RECORD = 1 << 28
 
 
 def _find_magic(buf: bytes, start: int) -> int:
@@ -145,9 +160,16 @@ def _iter_gzip_chunks(buf: bytes) -> Iterator[bytes]:
             while not d.eof and off < n:
                 fed = bytes(mv[off : off + _GZIP_FEED])
                 off += len(fed)
-                chunk = d.decompress(fed)
+                # max_length bounds every yielded chunk at _GZIP_CHUNK
+                # even for extreme deflate ratios (64 KB can legally
+                # inflate to ~66 MB); unconsumed_tail drains the rest
+                chunk = d.decompress(fed, _GZIP_CHUNK)
                 if chunk:
                     yield chunk
+                while d.unconsumed_tail and not d.eof:
+                    chunk = d.decompress(d.unconsumed_tail, _GZIP_CHUNK)
+                    if chunk:
+                        yield chunk
         except zlib.error:
             return
         if not d.eof:  # ran out of bytes mid-member: truncated tail
@@ -224,6 +246,13 @@ def _scan_records(buf: bytes, final: bool) -> tuple[list[dict], int, int]:
         content_end = content_start + length
         if content_end > len(buf):
             if not final:
+                if content_end - pos > _MAX_RECORD:
+                    # implausible Content-Length: malformed — do NOT
+                    # buffer the rest of the archive waiting for it
+                    if nxt < 0:
+                        return recs, max(consumed, len(buf) - tail_keep), 0
+                    consumed = pos = nxt
+                    continue
                 # content continues in the next chunk: no rescan until
                 # the record's full span is present (post-slice length)
                 return recs, pos, content_end - pos
@@ -303,8 +332,10 @@ def _parse_partitions(batches):
     request / metadata records are crawl bookkeeping, not pages."""
     import pandas as pd
 
+    cols = ["path", "seq", "url", "warc_ts", "html"]
+    chunk_rows = 2048  # bound task memory: don't hold a whole archive's rows
+    rows = []
     for pdf in batches:
-        rows = []
         for file_path, content in zip(pdf["path"], pdf["content"]):
             # seq = parse-order ordinal within the file: (path, seq)
             # uniquely names a record even when one URL is fetched twice
@@ -315,13 +346,15 @@ def _parse_partitions(batches):
                     rows.append(
                         (file_path, seq, rec["url"], rec["date"], rec["body"])
                     )
-        yield pd.DataFrame(
-            rows, columns=["path", "seq", "url", "warc_ts", "html"]
-        )
+                    if len(rows) >= chunk_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+    yield pd.DataFrame(rows, columns=cols)
 
 
 def read_warc(spark, path: str):
-    """``(path, url, warc_ts, html)`` DataFrame over WARC archive files.
+    """``(path, seq, url, warc_ts, html)`` DataFrame over WARC archive
+    files (``seq`` = the record's parse-order ordinal within its file).
 
     One binaryFile row per archive -> mapInPandas record parse. ZERO
     shuffles: the plan is scan -> mapInPandas (tests assert 0
@@ -370,9 +403,13 @@ def warc_pages(spark, path: str):
     the record parse itself.
 
     ``crawl_id = xxhash64(path, seq)`` (seq = the record parse-order
-    ordinal within its file) is content-derived AND unique per record
-    — same-URL-same-second re-fetches collide on (url, warc_ts) but
-    never on (path, seq) — so
+    ordinal within its file) is content-derived and collision-free on
+    the natural key — same-URL-same-second re-fetches collide on
+    (url, warc_ts) but never on (path, seq). The 64-bit hash itself is
+    probabilistically unique (~3%% chance of ANY collision at 10^9
+    records); past that scale derive a 128-bit id or key on the
+    retained (path, seq) columns directly. run_dedup_job --from-warc
+    asserts distinctness before building on it — so
     downstream tie-breaks (``latest_crawl_per_url(id_col="crawl_id")``)
     and doc ids are DETERMINISTIC across runs, task retries, and
     replays — never an arrival counter."""
@@ -417,6 +454,12 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
     previous run into the same directory are cleared at call time, so a
     narrower re-run never leaves a mixed directory.
 
+    ``out_dir`` must be a SHARED filesystem visible to driver and every
+    executor (local mode, NFS/fuse mounts): tasks write with plain
+    POSIX open/rename, which an object store does not provide — for
+    S3/HDFS output ship the keep-list as parquet instead and convert at
+    the edge, or front this with a Hadoop-FS writer.
+
     Returns a ``(file, records)`` manifest DataFrame (one row per
     written archive; the action that triggers the write is the caller's
     — e.g. ``.collect()`` on the manifest)."""
@@ -438,6 +481,7 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
         # stream the partition's batches into one archive
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        _os.makedirs(out_dir, exist_ok=True)  # executor-side, shared FS
         final = _os.path.join(out_dir, f"part-{pid:05d}{ext}")
         tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}{ext}")
         n = 0

@@ -244,8 +244,9 @@ def run_incremental_recrawl_warc(
     store upsert's own canonical_url aggregation.
 
     The per-record ``crawl_id`` is content-derived (xxhash64 of path +
-    url + warc_ts, see read_warc_stream) so a replayed micro-batch
-    reproduces identical rows for the ``last_batch_id`` replay guard."""
+    in-file record ordinal, see read_warc_stream) so a replayed
+    micro-batch reproduces identical rows for the ``last_batch_id``
+    replay guard."""
     from neural_locality_sensitive_hashing_spark.sources.warc import (
         read_warc_stream,
     )

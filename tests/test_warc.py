@@ -457,3 +457,42 @@ def test_hostile_unterminated_header_is_capped(monkeypatch):
     co = _zlib.compressobj(6, _zlib.DEFLATED, 31)
     got = w.parse_warc_records(co.compress(raw) + co.flush())
     assert [g["url"] for g in got] == ["https://after.com/z"]
+
+
+def test_hostile_content_length_is_capped(monkeypatch):
+    """A corrupt/hostile Content-Length far past _MAX_RECORD must not
+    make the carry-over buffer the rest of the archive waiting for
+    bytes that never suffice: the record is dropped as malformed and a
+    valid record after it still parses."""
+    import zlib as _zlib
+
+    from neural_locality_sensitive_hashing_spark.sources import warc as w
+
+    monkeypatch.setattr(w, "_GZIP_CHUNK", 256)
+    hostile = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Date: 2024-08-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: https://evil.com/\r\n"
+        b"Content-Length: 1000000000000000\r\n\r\n"
+    )
+    good = {
+        "url": "https://ok.com/page",
+        "date": datetime(2024, 8, 2, 0, 0, 0),
+        "html": b"<html><main>still here</main></html>",
+    }
+    raw = hostile + w.encode_warc([good], gzip_members=False)
+    co = _zlib.compressobj(6, _zlib.DEFLATED, 31)
+    got = w.parse_warc_records(co.compress(raw) + co.flush())
+    assert [g["url"] for g in got] == ["https://ok.com/page"]
+
+
+def test_fractional_date_roundtrip_through_encode():
+    """read -> write -> read keeps sub-second warc_ts exactly (the
+    encoder emits the fractional WARC-Date form when needed)."""
+    rec = {
+        "url": "https://frac.com/p",
+        "date": datetime(2024, 8, 3, 1, 2, 3, 123456),
+        "html": b"<html><main>f</main></html>",
+    }
+    got = parse_warc_records(encode_warc([rec]))
+    assert got[0]["date"] == rec["date"]

@@ -204,19 +204,31 @@ def main() -> None:
         from neural_locality_sensitive_hashing_spark.sources.warc import warc_pages
 
         # doc_id = the source's content-derived crawl_id (xxhash64 of
-        # path + in-file record ordinal): unique per record and stable
-        # across actions, task retries, and speculative re-execution —
-        # an arrival counter is NOT, and this lineage is re-executed by
-        # several downstream actions. persist() so the count + signature
-        # build don't each re-gunzip and re-parse every archive.
-        pages = (
-            warc_pages(spark, args.pages)
-            .withColumnRenamed("crawl_id", "doc_id")
-            .persist()
+        # path + in-file record ordinal): stable across actions, task
+        # retries, and speculative re-execution — an arrival counter is
+        # NOT, and this lineage is re-executed by several downstream
+        # actions. persist() so the count + signature build don't each
+        # re-gunzip and re-parse every archive; html (the bulk of the
+        # bytes) is cached ONLY when --survivors-warc-out needs it back.
+        pages = warc_pages(spark, args.pages).withColumnRenamed(
+            "crawl_id", "doc_id"
         )
+        if not args.survivors_warc_out:
+            pages = pages.select("doc_id", "url", "warc_ts", "text")
+        pages = pages.persist()
+        # the 64-bit hash id is probabilistically unique; a collision
+        # would SILENTLY merge two pages' clusters, so fail loudly
+        # instead (ids-only aggregation, cheap next to the pipeline)
+        n_ids = pages.select("doc_id").distinct().count()
+        n_docs = pages.count()
+        if n_ids != n_docs:
+            raise SystemExit(
+                f"doc_id collision: {n_docs} records but {n_ids} distinct "
+                "ids — at this scale derive a 128-bit id from (path, seq)"
+            )
     else:
         pages = spark.read.parquet(args.pages)
-    n_docs = pages.count()
+        n_docs = pages.count()
     # full-page handle for --survivors-warc-out, captured BEFORE the
     # recrawl tier narrows columns (its window deliberately drops html);
     # the survivor join on doc_id picks the right subset either way
