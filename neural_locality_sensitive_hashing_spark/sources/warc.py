@@ -333,8 +333,11 @@ def _parse_partitions(batches):
     import pandas as pd
 
     cols = ["path", "seq", "url", "warc_ts", "html"]
-    chunk_rows = 2048  # bound task memory: don't hold a whole archive's rows
-    rows = []
+    # bound task memory — flush by BYTES (big pages) or rows (small
+    # pages), never holding a whole archive's decoded bodies at once;
+    # byte-aware so 8k tiny rows and 32 one-MB pages both stay ~32 MB
+    max_bytes, max_rows = 32 << 20, 8192
+    rows, pending_bytes = [], 0
     for pdf in batches:
         for file_path, content in zip(pdf["path"], pdf["content"]):
             # seq = parse-order ordinal within the file: (path, seq)
@@ -346,9 +349,10 @@ def _parse_partitions(batches):
                     rows.append(
                         (file_path, seq, rec["url"], rec["date"], rec["body"])
                     )
-                    if len(rows) >= chunk_rows:
+                    pending_bytes += len(rec["body"])
+                    if len(rows) >= max_rows or pending_bytes >= max_bytes:
                         yield pd.DataFrame(rows, columns=cols)
-                        rows = []
+                        rows, pending_bytes = [], 0
     yield pd.DataFrame(rows, columns=cols)
 
 
