@@ -256,8 +256,16 @@ def augment_with_recrawls(
         return pa.chunked_array(out or [pa.array([], type=col.type)])
 
     def variant(u: str, j: int) -> str:
-        # all four shapes canonicalize to canonical_url(u)
+        # all four shapes canonicalize to canonical_url(u) — but ONLY for
+        # query-free, slash-free base URLs: m==0 appends '/' after the
+        # path and m==1/3 append a fresh '?', so a base URL that already
+        # carries a query string or trailing slash would produce variants
+        # that no longer collapse onto it, silently breaking the
+        # cluster-count invariant the bench asserts. generate_pages emits
+        # 'https://siteN.example/p/i' (compliant); assert the precondition
+        # so a future corpus fails loudly here instead.
         assert u.startswith("https://")
+        assert "?" not in u and "#" not in u and not u.endswith("/"), u
         host_path = u[len("https://"):]
         host, _, path = host_path.partition("/")
         m = j % 4

@@ -43,6 +43,10 @@ ZIGZAG = np.array(
     dtype=np.int64,
 )
 
+# Decoder allocation cap: max total 8x8 blocks (all components) a scan may
+# declare before _decode_scan refuses — see the in-function comment.
+_MAX_BLOCKS = 1 << 18
+
 # Annex K.1/K.2 base quantization tables (natural order)
 _Q_LUMA = np.array(
     [
@@ -425,6 +429,18 @@ def _decode_scan(
     h, w = frame["h"], frame["w"]
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # Allocation cap BEFORE sizing anything from the SOF header: h/w are
+    # attacker-controlled bytes, and a 65535x65535 frame over a ~100-byte
+    # scan would commit ~34 GB of coefficient arrays (and the decode loop
+    # touches pages across all of it) — an executor OOM-kill fires before
+    # MemoryError can be caught, so "total, never raises" needs the same
+    # pre-allocation bound discipline as warc.py's _MAX_HEADER/_MAX_RECORD.
+    # _MAX_BLOCKS = 2^18 8x8 blocks across all components ≈ 128 MB of
+    # float64 coefs ≈ a 4096x4096 4:4:4 frame: far above any thumbnail /
+    # video frame this tier decodes, far below the per-task memory budget.
+    total_blocks = mcus_x * mcus_y * sum(c["h"] * c["v"] for c in comps)
+    if total_blocks > _MAX_BLOCKS:
+        return None
     coefs = {
         c["id"]: np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.float64)
         for c in comps

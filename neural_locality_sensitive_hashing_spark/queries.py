@@ -2433,41 +2433,78 @@ def q_user_sessions_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cumulative emitted output, with session_idx re-derived as the
     per-user rank of session_start, must hash-match the BATCH window
     query — the oracle is EXACTLY SQL_USER_SESSIONS, so the driver
-    certifies streamed == batch == oracle. The drain harness (time-sorted
-    file split, memory sink, sentinel) is test scaffolding; the operator
+    certifies streamed == batch == oracle. The drain harness (time-split
+    files, memory sink, sentinel) is test scaffolding; the operator
     under test is the incremental sessionizer itself. Fresh per-call
-    checkpoint/input under a tmpdir."""
+    checkpoint/input under a tmpdir.
+
+    The time split is DISTRIBUTED: cut points come from one exact
+    percentile aggregate over ts (a single scalar row to the driver) and
+    each batch is a filtered executor-side write — the events table is
+    never materialized on the driver, so the lane query stays runnable
+    at any sf (any value-based time split yields the same sessions; the
+    operator only requires batches be non-decreasing in event time
+    BETWEEN files, which the strict < cut guarantees)."""
+    import datetime as _dt
+    import glob
     import os
     import shutil
     import tempfile
+    import time
     import uuid
-
-    import pandas as pd
 
     from neural_locality_sensitive_hashing_spark.streaming.sessionize import (
         sessionize_stream,
     )
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    # ts is TIMESTAMP_NTZ; the NTZ->TZ cast is deterministic under the
+    # engine's pinned-UTC session
+    bounds = ev.agg(
+        F.expr(
+            "percentile(unix_micros(cast(ts as timestamp)),"
+            " array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))"
+        ).alias("cuts"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]
+    t1, t2 = (int(c) for c in bounds["cuts"])
+    # write the batch files as plain TIMESTAMP (matching the sentinel and
+    # the readStream schema): the corpus ts is NTZ, and the NTZ->TZ cast
+    # is value-identical under the pinned-UTC session
+    evc = ev.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    usc = F.unix_micros(F.col("ts"))
+    parts = [
+        evc.where(usc < t1),
+        evc.where((usc >= t1) & (usc < t2)),
+        evc.where(usc >= t2),
+    ]
     work = tempfile.mkdtemp(prefix="nlsh_sessions_inc_")
     name = "sessions_inc_" + uuid.uuid4().hex[:8]
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        cut1, cut2 = len(pdf) // 3, 2 * len(pdf) // 3
-        for i, part in enumerate([pdf[:cut1], pdf[cut1:cut2], pdf[cut2:]]):
-            spark.createDataFrame(part).coalesce(1).write.parquet(
-                f"{in_dir}/b{i}.parquet"
-            )
-        sentinel = pd.DataFrame(
-            [(-1, pdf["ts"].max() + pd.Timedelta(seconds=10 * SESSION_GAP_SEC),
-              -1, 0.0)],
-            columns=["event_id", "ts", "user_id", "value"],
+        # coalesce(1): ONE file per time-band — FileStreamSource treats
+        # each file as its own micro-batch (maxFilesPerTrigger=1), and a
+        # band split across two files could replay out of time order
+        for i, part in enumerate(parts):
+            part.coalesce(1).write.parquet(f"{in_dir}/b{i}.parquet")
+        sentinel_ts = bounds["mx"] + _dt.timedelta(seconds=10 * SESSION_GAP_SEC)
+        sentinel = spark.createDataFrame(
+            [(-1, sentinel_ts, -1, 0.0)],
+            "event_id long, ts timestamp, user_id long, value double",
         )
-        spark.createDataFrame(sentinel).coalesce(1).write.parquet(
-            f"{in_dir}/b3.parquet"
-        )
+        sentinel.coalesce(1).write.parquet(f"{in_dir}/b3.parquet")
+        # FileStreamSource orders files by modification time; the four
+        # batches are written in quick succession so mtimes can TIE — if
+        # the far-future sentinel were picked up before b2, the watermark
+        # would jump and b2's events would be dropped as late (delay 0s).
+        # Force strictly increasing, spaced mtimes in write order.
+        base = time.time()
+        for i in range(4):
+            for f in glob.glob(f"{in_dir}/b{i}.parquet/part-*.parquet"):
+                os.utime(f, (base + 10 * i, base + 10 * i))
         stream = (
             spark.readStream.schema(
                 "event_id long, ts timestamp, user_id long, value double"

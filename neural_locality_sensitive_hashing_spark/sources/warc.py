@@ -356,13 +356,33 @@ def _parse_partitions(batches):
     yield pd.DataFrame(rows, columns=cols)
 
 
+def _require_utc_session(spark) -> None:
+    """WARC-Date is ALWAYS UTC (ISO 28500 §5.4), but the parse kernel
+    hands Spark naive datetimes and the sink labels naive timestamps
+    'Z' — both correct only when the session interprets naive values as
+    UTC. session.py pins that for the engine's own sessions; an
+    externally built non-UTC session would silently shift every warc_ts,
+    so the boundary is asserted here instead of assumed."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"WARC timestamps are UTC per ISO 28500, but "
+            f"spark.sql.session.timeZone={tz!r}: naive warc_ts values "
+            f"would be reinterpreted in that zone. Set the session "
+            f"timezone to UTC (spark.conf.set('spark.sql.session."
+            f"timeZone', 'UTC')) before reading or writing WARC."
+        )
+
+
 def read_warc(spark, path: str):
     """``(path, seq, url, warc_ts, html)`` DataFrame over WARC archive
     files (``seq`` = the record's parse-order ordinal within its file).
 
     One binaryFile row per archive -> mapInPandas record parse. ZERO
     shuffles: the plan is scan -> mapInPandas (tests assert 0
-    exchanges)."""
+    exchanges). Requires a UTC session timezone (asserted): WARC-Date
+    is UTC by spec and the parsed timestamps are naive."""
+    _require_utc_session(spark)
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(_parse_partitions, WARC_SCHEMA)
 
@@ -383,6 +403,7 @@ def read_warc_stream(spark, path: str, max_files_per_trigger: int = 1):
     from pyspark.sql import functions as F
 
     # binaryFile's fixed schema, required explicitly by streaming sources
+    _require_utc_session(spark)
     bin_schema = (
         "path string, modificationTime timestamp, length long, content binary"
     )
@@ -473,6 +494,9 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
     import pandas as pd
     from pyspark import TaskContext
 
+    # naive session timestamps are written with a 'Z' suffix — only
+    # correct when the session already interprets them as UTC
+    _require_utc_session(pages.sparkSession)
     _os.makedirs(out_dir, exist_ok=True)
     # clear stale output: a re-run with FEWER partitions must not leave
     # part files from a previous, wider run mixed into the directory

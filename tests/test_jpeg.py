@@ -136,6 +136,33 @@ def test_unsupported_modes_return_none_not_wrong_pixels():
     assert decode_jpeg_pixels(bytes(blob12)) is None
 
 
+def test_hostile_sof_dims_refused_before_allocation():
+    """SOF height/width are attacker bytes, and coefficient arrays are
+    sized from them before any entropy data is read: a 65535x65535
+    header over a tiny scan would commit ~34 GB and OOM-kill the
+    executor before MemoryError is catchable. The decoder must refuse
+    (None) via the _MAX_BLOCKS pre-allocation cap — same discipline as
+    warc.py's _MAX_HEADER/_MAX_RECORD — and do so instantly."""
+    import time
+
+    blob = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
+    idx = bytes(blob).index(b"\xff\xc0")
+    # SOF0 body: marker(2) len(2) precision(1) h(2) w(2) ...
+    blob[idx + 5 : idx + 9] = b"\xff\xff\xff\xff"  # h = w = 65535
+    t0 = time.monotonic()
+    assert decode_jpeg_pixels(bytes(blob)) is None
+    assert time.monotonic() - t0 < 1.0  # refused at the header, not after
+    # just-over-the-cap is refused; the legitimate tier stays decodable
+    from neural_locality_sensitive_hashing_spark.functions.jpeg import _MAX_BLOCKS
+
+    side = int((_MAX_BLOCKS // 3) ** 0.5) * 8 + 8  # 3 comps at 4:4:4
+    over = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
+    i2 = bytes(over).index(b"\xff\xc0")
+    over[i2 + 5 : i2 + 7] = side.to_bytes(2, "big")
+    over[i2 + 7 : i2 + 9] = side.to_bytes(2, "big")
+    assert decode_jpeg_pixels(bytes(over)) is None
+
+
 def test_encoder_input_validation():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
