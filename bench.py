@@ -98,12 +98,17 @@ def main() -> None:
     from neural_locality_sensitive_hashing_spark.queries import (
         QUERIES,
         q_embedding_dup_pairs_fast,
+        q_token_stats,
     )
 
-    # benched but not in the 50-slot driver registry (its oracle equality
-    # is pytest-certified against the in-lane LSH plan)
+    # benched but not in the 50-slot driver registry:
+    # - embedding_dup_pairs_fast: oracle equality pytest-certified
+    #   against the in-lane LSH plan
+    # - token_stats: consolidated into doc_profile's correctness row in
+    #   round 8; kept here so the per-query bench series stays comparable
     benchable = dict(QUERIES)
     benchable["embedding_dup_pairs_fast"] = q_embedding_dup_pairs_fast
+    benchable["token_stats"] = q_token_stats
 
     spark = spark_session("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")

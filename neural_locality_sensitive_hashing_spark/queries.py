@@ -387,6 +387,43 @@ def q_minhash_dedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataF
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q_minhash_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental dedup in the value-check lane: where
+    minhash_dedup_pairs_incremental certifies the streaming store's PAIR
+    emission, this runs the rest of the pipeline — union-find over the
+    accumulated incremental pair store, then singleton fill-in — and
+    must hash-match the BATCH clusters oracle (SQL_MINHASH_DEDUP_
+    CLUSTERS). A green row proves the whole incremental pipeline (band
+    store, two-sided probes, connected components, cluster labeling)
+    equals the one-shot batch job: the reference's amortized
+    build-once-probe-many index (nlsh/indexer.py:34-38) carried to its
+    logical end, cluster assignments included. Same 3-batch
+    order-scrambling drain (doc_id % 3) and fresh per-call store as the
+    pairs lane."""
+    import shutil
+    import tempfile
+
+    from neural_locality_sensitive_hashing_spark.streaming.incremental import (
+        IncrementalDeduper,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="nlsh_dedup_cinc_")
+    try:
+        dedup = IncrementalDeduper(spark, CFG, state)
+        for i in range(3):
+            dedup.process_batch(docs.where(F.col("doc_id") % 3 == i), i)
+        labels = connected_components(
+            dedup.dup_pairs(), CFG.max_cc_iterations
+        )
+        out = clusters_with_singletons(labels, docs)
+        # materialize before the tmp store is deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 # --- recrawl tier (per-URL dedup, upstream of content dedup) -----------------
 
 
@@ -559,6 +596,87 @@ SELECT regexp_extract(canonical_url, '{_HOST_RE}', 1) AS host,
        count(*) AS n_crawls,
        count(DISTINCT canonical_url) AS n_pages
 FROM canon GROUP BY host
+"""
+
+
+def q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC crawl-archive tier (sources/warc.py) in the value-check
+    lane: the planted crawls table makes a FULL trip through the archive
+    loop — the N32 sink (write_warc) encodes it into Common-Crawl-layout
+    .warc.gz archives under a tmpdir, one archive per partition, and the
+    N30 source (warc_pages) parses them back through the linear
+    offset-walked gzip reader and re-derives text/lang with the native
+    Catalyst kernels. The oracle is DuckDB over the SAME planted
+    parquet, so a green row certifies encode -> parse -> extract ==
+    ground truth end-to-end in the hard lane (the reference's S1/S4
+    scan/sink contract, nlsh/data.py:23-49: load = exactly what was
+    written). html payload = the row's text wrapped by the datagen
+    inverse (escape + <main>), so extract_text(html) == text
+    byte-identically per the frozen extractor contract. Archives are
+    scaffolding (fresh tmpdir per call); the operators under test are
+    the sink, the parser, and the extractor."""
+    import shutil
+    import tempfile
+
+    from neural_locality_sensitive_hashing_spark.functions.text import (
+        escape_html_text,
+    )
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        warc_pages,
+        write_warc,
+    )
+
+    crawls = spark.read.parquet(ensure_planted_crawls(sf_dir))
+    pages = crawls.select(
+        "crawl_id",
+        "url",
+        # planted warc_ts is NTZ; value-identical TZ cast under the
+        # pinned-UTC session (write_warc asserts UTC)
+        F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+        F.concat(
+            F.lit("<html><head><title>crawl</title></head><body>"
+                  "<header>nav</header><main><p>"),
+            escape_html_text(F.col("text")),
+            F.lit("</p></main><footer>f</footer></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="nlsh_warc_lane_")
+    try:
+        # 4 partitions -> 4 archives: exercises the one-archive-per-
+        # partition sink shape and a multi-file parallel read-back
+        manifest = write_warc(pages.repartition(4, "crawl_id"), out_dir)
+        manifest.count()  # the action that triggers the distributed write
+        out = warc_pages(spark, f"{out_dir}/part-*.warc.gz").select(
+            "url", "warc_ts", "text", "lang"
+        )
+        # materialize before the tmp archives are deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _sql_warc_pages(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle: the planted crawls table itself, with lang re-derived by
+    the SAME stopword-score CASE the doc_profile oracle pins against
+    functions/text.py::lang_id — certifying that what comes back out of
+    the archives is exactly what went in."""
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
+
+    crawls = ensure_planted_crawls(sf_dir)
+    return f"""
+WITH raw AS (SELECT url, warc_ts, text FROM read_parquet('{crawls}')),
+toks AS (SELECT *, {_SQL_TOKS} AS t FROM raw),
+scored AS (SELECT *, {_sql_lang_scores()} FROM toks),
+best AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS s_best FROM scored)
+SELECT url, warc_ts, text,
+  CASE WHEN s_best > 0 AND s_en = s_best THEN 'en'
+       WHEN s_best > 0 AND s_de = s_best THEN 'de'
+       WHEN s_best > 0 AND s_fr = s_best THEN 'fr'
+       WHEN s_best > 0 AND s_es = s_best THEN 'es'
+       ELSE 'und' END AS lang
+FROM best
 """
 
 
@@ -1105,11 +1223,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
 # --- documents: text analysis ------------------------------------------------
 
 
+# simple word/digit/punct pre-tokenizer used by the per-doc profile's
+# bpe_tokens budget column (text.py's BPE_TOKEN_RE is the GPT-2-faithful
+# variant, value-checked by the separate bpe_token_stats row)
+BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile row: token counts (whitespace + BPE-ish
+    budget proxy), quality score, language guess, and content
+    fingerprint. CONSOLIDATES round-7's token_stats into this row (the
+    driver caps correctness rows at 50/round and round 8 adds the WARC
+    and incremental-clusters lanes): n_tokens IS token_stats.ws_tokens
+    (same kernel) and bpe_tokens is its second column verbatim, so both
+    kernels stay value-checked under one row; q_token_stats itself
+    remains exported for the bench series."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), F.lit(0))
+        ).alias("bpe_tokens"),
         T.quality_score(F.col("text")).alias("quality"),
         T.lang_id(F.col("text")).alias("lang_guess"),
         F.md5("text").alias("fp_md5"),
@@ -1140,6 +1275,7 @@ best AS (
   SELECT *, greatest(s_en, s_de, s_fr, s_es) AS s_best FROM scored
 )
 SELECT doc_id, n_tokens,
+  len(regexp_extract_all(text, '{BPE_REGEX}')) AS bpe_tokens,
   round((
     (CASE WHEN n_tokens > 0 AND (length(text)*1.0/n_tokens) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
     + (CASE WHEN length(text) > 0
@@ -1158,6 +1294,10 @@ FROM best
 
 
 def q_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc count / mean / max token stats. NOT in the
+    driver registry since round 8: the same aggregates are value-checked
+    inside lang_token_quartiles' row (n_docs/avg_tokens/max_tokens
+    columns — see its docstring); kept exported for tests."""
     docs = load(spark, sf_dir, "documents")
     return (
         docs.select("lang", T.token_count(F.col("text")).alias("n"))
@@ -1717,12 +1857,12 @@ WHERE round(list_dot_product(l.v, r.v)
       >= {EMB_DUP_TAU_HI}
 """
 
-# GPT2-style pretokenizer shape: word pieces OR single non-space symbols
-BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
-
-
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace vs BPE-ish token counts per doc (training-data costing)."""
+    """Whitespace vs BPE-ish token counts per doc (training-data costing).
+
+    NOT in the driver registry since round 8: both kernels are
+    value-checked inside doc_profile's row (n_tokens/bpe_tokens — see
+    its docstring); this stays exported for bench.py's series."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -2571,10 +2711,21 @@ def q_lang_token_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = hist.select(
         "lang",
         "n",
+        "c",
         F.sum("c").over(Window.partitionBy("lang").orderBy("n")).alias("cum"),
         F.sum("c").over(Window.partitionBy("lang")).alias("tot"),
     )
-    aggs = [F.max("tot").alias("n_docs")]
+    # avg/max fold in from the SAME histogram (sum n*c / total) — the
+    # round-7 lang_summary row consolidated here (50-row driver cap;
+    # round 8 adds the WARC and incremental-clusters lanes), so the A3
+    # mean-reduction kernel stays value-checked under this row
+    aggs = [
+        F.max("tot").alias("n_docs"),
+        F.round(
+            F.sum(F.col("n") * F.col("c")) / F.max("tot"), 4
+        ).alias("avg_tokens"),
+        F.max("n").cast("bigint").alias("max_tokens"),
+    ]
     for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
         r = F.floor((F.col("tot") - 1) * F.lit(p))
         aggs.append(
@@ -2591,7 +2742,9 @@ def q_lang_token_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = F.col(f"_lo_{name}")
         hi = F.coalesce(F.col(f"_hi_{name}"), lo)  # frac==0 at the top rank
         out.append(F.round(lo + frac * (hi - lo), 4).alias(name))
-    return res.select(*out, F.col("n_docs"))
+    return res.select(
+        *out, F.col("n_docs"), F.col("avg_tokens"), F.col("max_tokens")
+    )
 
 
 SQL_LANG_TOKEN_QUARTILES = """
@@ -2604,7 +2757,9 @@ WITH t AS (
 SELECT lang, round(quantile_cont(n, 0.25), 4) AS p25,
        round(quantile_cont(n, 0.5), 4) AS p50,
        round(quantile_cont(n, 0.75), 4) AS p75,
-       count(*) AS n_docs
+       count(*) AS n_docs,
+       round(avg(n), 4) AS avg_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens
 FROM t GROUP BY lang
 """
 
@@ -2631,11 +2786,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "minhash_dedup_pairs_incremental": q_minhash_dedup_pairs_incremental,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
+    "minhash_dedup_clusters_incremental": q_minhash_dedup_clusters_incremental,
     "dedup_keep_list": q_dedup_keep_list,
     "recrawl_latest": q_recrawl_latest,
     "recrawl_latest_incremental": q_recrawl_latest_incremental,
     "recrawl_stats": q_recrawl_stats,
     "crawl_host_stats": q_crawl_host_stats,
+    "warc_pages": q_warc_pages,
     "pii_scrub": q_pii_scrub,
     "boilerplate_shingles": q_boilerplate_shingles,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -2645,7 +2802,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "learned_multiband_ann": q_learned_multiband_ann,
     "learned_bagged_ann": q_learned_bagged_ann,
     "doc_profile": q_doc_profile,
-    "lang_summary": q_lang_summary,
     "top_tokens": q_top_tokens,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_hi": q_embedding_dup_pairs_hi,
@@ -2653,7 +2809,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # its oracle equality is certified transitively by
     # tests/test_similarity.py::test_fast_path_equals_lsh_path (fast ==
     # LSH plan, whose lane row stays green); still benched in bench.py.
-    "token_stats": q_token_stats,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_bruteforce_l2": q_knn_bruteforce_l2,
     "ann_lsh_cosine": q_ann_lsh_cosine,
@@ -2674,6 +2829,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   top_customers + region_revenue             -> revenue_rollup
 #   event_type_hourly + user_topk_events       -> event_type_top_hours
 #   embedding_dup_pairs_fast                   -> pytest equality gate
+# Round 8 (to admit warc_pages + minhash_dedup_clusters_incremental):
+#   token_stats  -> doc_profile (n_tokens/bpe_tokens columns)
+#   lang_summary -> lang_token_quartiles (n_docs/avg_tokens/max_tokens)
 # Operator coverage is unchanged: each merged query value-checks the same
 # kernels/idioms under one row (see each docstring for the mapping).
 assert len(QUERIES) <= 50, f"driver caps correctness rows at 50, got {len(QUERIES)}"
@@ -2698,15 +2856,15 @@ ORACLES: dict[str, str] = {
     "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_pairs_incremental": SQL_MINHASH_DEDUP_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
+    # incremental drain == batch: the oracle IS the batch clusters SQL
+    "minhash_dedup_clusters_incremental": SQL_MINHASH_DEDUP_CLUSTERS,
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "long_repeat_pairs": SQL_LONG_REPEAT_PAIRS,
     "longrepeat_winnowed_pairs": SQL_LONGREPEAT_WINNOWED_PAIRS,
     "doc_profile": SQL_DOC_PROFILE,
-    "lang_summary": SQL_LANG_SUMMARY,
     "top_tokens": SQL_TOP_TOKENS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
-    "token_stats": SQL_TOKEN_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_bruteforce_l2": SQL_KNN_BRUTEFORCE_L2,
     "ann_lsh_cosine": SQL_ANN_LSH_COSINE,
@@ -2743,6 +2901,7 @@ def get_oracles() -> dict[str, str]:
         ("recrawl_latest_incremental", _sql_recrawl_latest),
         ("recrawl_stats", _sql_recrawl_stats),
         ("crawl_host_stats", _sql_crawl_host_stats),
+        ("warc_pages", _sql_warc_pages),
         ("pii_scrub", _sql_pii_scrub),
     ]:
         try:
