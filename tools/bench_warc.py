@@ -1,4 +1,4 @@
-"""WARC-source throughput at the 100k-record scale -> BENCH/warc_raw.json.
+"""WARC-source throughput -> BENCH/<out>.json.
 
 Measures the raw-input end of the pipeline on synthetic Common-Crawl-
 layout archives (one gzip member per record):
@@ -8,11 +8,21 @@ layout archives (one gzip member per record):
                  -> latest_crawl_per_url -> count (the production N30 ->
                  N19 shape; lang_id is pruned by the narrow, and html is
                  deliberately kept out of the window exchange)
+  * stream_ingest (BENCH_WARC_STREAM=1) — the N31 continuous-ingestion
+                 path: read_warc_stream -> foreachBatch upsert into the
+                 latest-crawl store (fresh store per trial), full drain
+                 timed, final store row count asserted against
+                 construction truth
 
 Protocol matches BENCH/BASELINE.md discipline: deterministic input,
 3 trials per stage, median + min reported, conditions labeled. Archives
 are built once (construction-time truth: n_files x n_records known) and
 the row counts are asserted every trial, not assumed.
+
+Set BENCH_WARC_CACHE=<dir> to build the archives ONCE and reuse them
+across parallelism levels (the >=1M-record scaling runs would otherwise
+spend minutes regenerating identical input per level); the cache is
+keyed on (n_files, per_file, seed) and rebuilt on mismatch.
 
     python tools/bench_warc.py [n_files] [records_per_file]
 """
@@ -75,6 +85,29 @@ def build_archives(out_dir: str, n_files: int, per_file: int, seed: int = 7) -> 
     return total_records, n_pages
 
 
+def ensure_archives(
+    cache_dir: str, n_files: int, per_file: int, seed: int = 7
+) -> tuple[int, int]:
+    """Idempotent build of the synthetic archives under ``cache_dir``:
+    reuse when the (n_files, per_file, seed) key matches the recorded
+    meta, rebuild from scratch otherwise."""
+    os.makedirs(cache_dir, exist_ok=True)
+    meta_path = os.path.join(cache_dir, "meta.json")
+    key = {"n_files": n_files, "per_file": per_file, "seed": seed}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if all(meta.get(k) == v for k, v in key.items()):
+            return meta["records"], meta["pages"]
+    for stale in os.listdir(cache_dir):
+        if stale.endswith(".warc.gz"):
+            os.unlink(os.path.join(cache_dir, stale))
+    total, n_pages = build_archives(cache_dir, n_files, per_file, seed)
+    with open(meta_path, "w") as f:
+        json.dump({**key, "records": total, "pages": n_pages}, f)
+    return total, n_pages
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 6250
@@ -93,9 +126,20 @@ def main() -> None:
         warc_pages,
     )
 
-    with tempfile.TemporaryDirectory(prefix="warc_bench_") as d:
+    import contextlib
+
+    cache = os.environ.get("BENCH_WARC_CACHE")
+    ctx = (
+        contextlib.nullcontext(cache)
+        if cache
+        else tempfile.TemporaryDirectory(prefix="warc_bench_")
+    )
+    with ctx as d:
         t = time.monotonic()
-        total, n_pages = build_archives(d, n_files, per_file)
+        if cache:
+            total, n_pages = ensure_archives(d, n_files, per_file)
+        else:
+            total, n_pages = build_archives(d, n_files, per_file)
         gen_s = time.monotonic() - t
         arc_mb = sum(
             os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
@@ -105,18 +149,40 @@ def main() -> None:
         # master (handles local[N], local[*], cluster masters) — no
         # second copy of that parsing here
         spark = spark_session("bench_warc", master=master, shuffle_partitions=None)
+        arcs = os.path.join(d, "part*.warc.gz")  # never meta.json
         stages = {
-            "parse": lambda: read_warc(spark, d).count(),
+            "parse": lambda: read_warc(spark, arcs).count(),
             # production shape: narrow BEFORE the window (run_dedup_job
             # measured that shuffling the html payload doubles this
             # stage) and tie-break on the content-derived crawl_id
             "first_tier": lambda: latest_crawl_per_url(
-                warc_pages(spark, d).select(
+                warc_pages(spark, arcs).select(
                     "crawl_id", "url", "warc_ts", "text"
                 ),
                 id_col="crawl_id",
             ).count(),
         }
+        if os.environ.get("BENCH_WARC_STREAM") == "1":
+            from neural_locality_sensitive_hashing_spark.streaming.recrawl_stream import (
+                run_incremental_recrawl_warc,
+            )
+
+            def stream_ingest() -> int:
+                # fresh store per trial: the drain is the unit under test
+                with tempfile.TemporaryDirectory(
+                    prefix="warc_stream_state_"
+                ) as state:
+                    sink = run_incremental_recrawl_warc(
+                        spark,
+                        arcs,
+                        state,
+                        max_files_per_trigger=int(
+                            os.environ.get("BENCH_WARC_STREAM_FPT", "1")
+                        ),
+                    )
+                    return sink.latest_crawls().count()
+
+            stages["stream_ingest"] = stream_ingest
         out = {
             "n_files": n_files,
             "records": total,
