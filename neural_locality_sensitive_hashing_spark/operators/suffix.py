@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -72,6 +72,109 @@ def winnow_fingerprints(tokens_col: Column, gram_len: int, window: int) -> Colum
     """array<string> tokens -> array<bigint> winnowed fingerprints."""
     token_hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
     return make_winnow_udf(gram_len, window)(token_hashes)
+
+
+def make_gram_hash_udf(gram_len: int):
+    """pandas_udf: array<bigint> token hashes -> array<bigint> POSITIONAL
+    L-gram hashes (one per gram start, order preserved, no winnowing) —
+    the exact-verify stage needs gram positions, not the winnowed
+    min-sample. Same windowed-multiply kernel and weights as the winnow
+    UDF, so a winnowed fingerprint is always one of these values."""
+    weights = _gram_weights(gram_len)
+
+    @pandas_udf(ArrayType(LongType()))
+    def gram_hash(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=object)
+        for i, v in enumerate(hashes):
+            if v is None:
+                continue
+            h = np.asarray(v, dtype=np.int64).view(np.uint64)
+            if len(h) < gram_len:
+                out[i] = np.empty(0, dtype=np.int64)
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(h, gram_len)
+            with np.errstate(over="ignore"):
+                grams = (wins * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            out[i] = grams.view(np.int64)
+        return pd.Series(out)
+
+    return gram_hash
+
+
+def long_repeat_pairs_exact(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    winnow_window: int = 16,
+) -> DataFrame:
+    """-> (a, b, max_run): candidate pairs from the winnowed fingerprint
+    join, each verified with the EXACT length in tokens of the longest
+    verbatim block the pair shares — the §2.8 suffix-array pass carried
+    to its end at scale without materializing a suffix array.
+
+    Two-stage shape (the classical candidate -> verify discipline every
+    other dedup tier here uses):
+
+      1. candidates — :func:`long_repeat_pairs`'s winnowed-fingerprint
+         equi-join (cheap, recall-guaranteed for runs >=
+         gram_len + winnow_window - 1 by the winnowing theorem);
+      2. exact verify — positional L-gram hashes are re-derived for
+         candidate docs only (semi-join pruning), matches between a
+         pair's gram streams become (i, j) points, and the longest
+         shared run is gram_len - 1 + the longest consecutive-i chain
+         per (pair, diagonal i-j): two grouped aggregations and one
+         high-cardinality window, all Catalyst.
+
+    Scale notes: match rows exist only inside genuinely shared blocks
+    (random gram-hash agreement is ~2^-64), so stage 2's join output is
+    proportional to the total shared-block token mass of the candidate
+    set, not to corpus size; every shuffle keys on (pair, diag) or
+    gram-hash — high-cardinality, salting-free. Same accepted xxhash64
+    collision class as shingle_set (functions/text.py)."""
+    gram_len = cfg.long_repeat_min_tokens
+    cand = long_repeat_pairs(
+        docs, cfg, id_col=id_col, text_col=text_col,
+        winnow_window=winnow_window,
+    ).select("a", "b")
+    ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select("b"))
+        .distinct()
+    )
+    token_hashes = F.transform(
+        T.tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+    )
+    gp = (
+        docs.select(F.col(id_col).alias("doc_id"), token_hashes.alias("th"))
+        .join(ids, "doc_id")  # candidate docs only
+        .select(
+            "doc_id",
+            F.posexplode(make_gram_hash_udf(gram_len)(F.col("th"))).alias(
+                "i", "g"
+            ),
+        )
+    )
+    m = (
+        cand.join(gp.alias("l"), F.col("a") == F.col("l.doc_id"))
+        .join(
+            gp.alias("r"),
+            (F.col("b") == F.col("r.doc_id")) & (F.col("l.g") == F.col("r.g")),
+        )
+        .select(
+            "a", "b",
+            F.col("l.i").alias("i"),
+            (F.col("l.i") - F.col("r.i")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("a", "b", "diag").orderBy("i")
+    runs = m.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("a", "b", "diag", "grp")
+        .agg(F.count("*").alias("rl"))
+        .groupBy("a", "b")
+        .agg((F.max("rl") + F.lit(gram_len - 1)).alias("max_run"))
+    )
 
 
 def long_repeat_pairs(

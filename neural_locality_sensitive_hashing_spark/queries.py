@@ -840,22 +840,51 @@ LONG_REPEAT_GRAM = 12
 
 
 def q_long_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shared-verbatim-block pairs: docs sharing >=1 distinct
-    12-token gram, with the shared-gram count. (The engine-scale winnowed
-    variant is `longrepeat_winnowed_pairs`.)"""
+    """Exact shared-verbatim-block pairs WITH the exact longest-run
+    length: docs sharing >=1 distinct 12-token gram, the shared-gram
+    count, and max_run — the exact token length of the longest verbatim
+    block the pair shares (the §2.8 "suffix-array pass" promise,
+    round-8 extension). No suffix array is materialized and no per-row
+    Python runs: positional 12-gram matches between two docs are points
+    (i, j), and a shared token run of length R >= 12 is EXACTLY a run
+    of R-11 consecutive matches along one diagonal i-j, so
+    max_run = 11 + the longest consecutive-i chain per (pair, diagonal)
+    — a high-cardinality (a, b, diag) window plus two aggregations,
+    all Catalyst. Match rows only exist inside genuinely shared blocks,
+    so the diagonal stage's input is the same size class as the
+    shared-gram join it extends. The winnowed engine-scale variant is
+    `longrepeat_winnowed_pairs`; operators/suffix.py::
+    long_repeat_pairs_exact composes this same diagonal kernel with
+    winnowed candidate pre-filtering for the 100 TB path."""
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
+    toks = T.tokens(F.col("text"))
+    gp = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(T.shingles(T.tokens(F.col("text")), LONG_REPEAT_GRAM))
-        ).alias("g"),
+        F.posexplode(T.shingles(toks, LONG_REPEAT_GRAM)).alias("i", "g"),
     ).where(F.size(T.tokens(F.col("g"))) >= F.lit(LONG_REPEAT_GRAM))
-    return (
-        grams.alias("l")
-        .join(grams.alias("r"), "g")
+    m = (
+        gp.alias("l")
+        .join(gp.alias("r"), "g")
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .agg(F.count("*").alias("n_shared"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.i").alias("i"),
+            (F.col("l.i") - F.col("r.i")).alias("diag"),
+            "g",
+        )
+    )
+    w = Window.partitionBy("a", "b", "diag").orderBy("i")
+    runs = m.withColumn("grp", F.col("i") - F.row_number().over(w))
+    run_len = runs.groupBy("a", "b", "diag", "grp").agg(
+        F.count("*").alias("rl")
+    )
+    longest = run_len.groupBy("a", "b").agg(
+        (F.max("rl") + F.lit(LONG_REPEAT_GRAM - 1)).alias("max_run")
+    )
+    shared = m.groupBy("a", "b").agg(F.countDistinct("g").alias("n_shared"))
+    return shared.join(longest, ["a", "b"]).select(
+        "a", "b", "n_shared", "max_run"
     )
 
 
@@ -864,14 +893,30 @@ WITH toks AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents
 ),
 grams AS (
-  SELECT doc_id, unnest(list_distinct(
-    [array_to_string(t[i:i+{LONG_REPEAT_GRAM - 1}], ' ')
-     for i in range(1, len(t) - {LONG_REPEAT_GRAM - 2})])) AS g
-  FROM toks WHERE len(t) >= {LONG_REPEAT_GRAM}
-)
-SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
-FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
-GROUP BY a, b
+  SELECT doc_id, u.i AS i, u.g AS g FROM (
+    SELECT doc_id, unnest(
+      [{{'i': i, 'g': array_to_string(t[i:i+{LONG_REPEAT_GRAM - 1}], ' ')}}
+       for i in range(1, len(t) - {LONG_REPEAT_GRAM - 2})]) AS u
+    FROM toks WHERE len(t) >= {LONG_REPEAT_GRAM}
+  )
+),
+m AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, l.i AS i, l.i - r.i AS diag, l.g AS g
+  FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
+),
+runs AS (
+  SELECT a, b, diag,
+         i - row_number() OVER (PARTITION BY a, b, diag ORDER BY i) AS grp
+  FROM m
+),
+rl AS (
+  SELECT a, b, max(cnt) + {LONG_REPEAT_GRAM - 1} AS max_run FROM (
+    SELECT a, b, diag, grp, count(*) AS cnt FROM runs GROUP BY a, b, diag, grp
+  ) GROUP BY a, b
+),
+shared AS (SELECT a, b, count(DISTINCT g) AS n_shared FROM m GROUP BY a, b)
+SELECT s.a, s.b, s.n_shared, rl.max_run
+FROM shared s JOIN rl ON s.a = rl.a AND s.b = rl.b
 """
 
 

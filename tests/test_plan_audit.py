@@ -33,7 +33,11 @@ PLAN_BOUNDS = {
     "learned_multiband_ann": 2,
     "learned_bagged_ann": 2,
     "user_sessions": 1,
-    "long_repeat_pairs": 1,
+    # positional-gram self-join (2) + the (a,b,diag) diagonal window (1)
+    # + the per-pair aggs on (a,b) (1); the run-length groupBy reuses the
+    # window's (a,b,diag) partitioning and the final shared×longest join
+    # reuses (a,b) from both aggs
+    "long_repeat_pairs": 4,
     "packed_sequences": 1,
     "doc_sample_hash": 0,
     "doc_repetition": 0,

@@ -50,3 +50,86 @@ def test_planted_longrepeat_groups_recovered(spark, pages_1k):
     # low global Jaccard by construction -> MinHash must NOT see these
     # (that's the whole reason this pass exists); sanity: block/total < τ
     assert len(want_pairs) > 0
+
+
+def test_exact_verify_reports_exact_longest_run(spark):
+    """long_repeat_pairs_exact must return the EXACT longest shared
+    verbatim token run (diagonal-chain kernel), not just candidacy:
+    a planted 149-token shared block (guarantee bound = 64+16-1 = 79,
+    comfortably above it) must come back at exactly 149 even though the
+    two docs also share a second, shorter 80-token block (the max, not
+    any run, is reported)."""
+    from neural_locality_sensitive_hashing_spark.operators.suffix import (
+        long_repeat_pairs_exact,
+    )
+
+    rng = np.random.default_rng(23)
+    long_block = _words(rng, 149)
+    short_block = _words(rng, 80)
+    a = " ".join(_words(rng, 120) + long_block + _words(rng, 50) + short_block)
+    b = " ".join(short_block + _words(rng, 90) + long_block + _words(rng, 33))
+    c = " ".join(_words(rng, 260))
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    got = long_repeat_pairs_exact(df, CFG, winnow_window=W).collect()
+    assert [(r.a, r.b, r.max_run) for r in got] == [(0, 1, 149)]
+
+
+def test_exact_verify_agrees_with_lane_diagonal_kernel(spark, pages_1k):
+    """Cross-check the two diagonal implementations on real corpus data:
+    for every candidate pair the exact pass emits, its max_run must
+    EQUAL the lane query's declarative diagonal result for that pair,
+    and every lane pair at or above the winnowing guarantee bound
+    (gram_len + window - 1) must be present in the exact pass — the
+    no-false-negatives theorem, end to end."""
+    from neural_locality_sensitive_hashing_spark.operators.suffix import (
+        long_repeat_pairs_exact,
+    )
+
+    pages_path, _ = pages_1k
+    pages = spark.read.parquet(pages_path)
+    exact = {
+        (r.a, r.b): r.max_run
+        for r in long_repeat_pairs_exact(pages, CFG, winnow_window=W).collect()
+    }
+    assert exact, "fixture must produce at least one candidate pair"
+
+    # reference: the same diagonal-run semantics on RAW 64-grams (the
+    # lane query's shape, inlined here at the test's gram length)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    from neural_locality_sensitive_hashing_spark.functions import text as T
+    from pyspark.sql import Window
+
+    K = CFG.long_repeat_min_tokens
+    gp = pages.select(
+        "doc_id", F.posexplode(T.shingles(toks, K)).alias("i", "g")
+    ).where(F.size(F.split(F.col("g"), " ")) >= K)
+    m = (
+        gp.alias("l")
+        .join(gp.alias("r"), "g")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.i").alias("i"),
+            (F.col("l.i") - F.col("r.i")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("a", "b", "diag").orderBy("i")
+    want = {
+        (r.a, r.b): r.max_run
+        for r in m.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("a", "b", "diag", "grp")
+        .agg(F.count("*").alias("rl"))
+        .groupBy("a", "b")
+        .agg((F.max("rl") + F.lit(K - 1)).alias("max_run"))
+        .collect()
+    }
+    for pair, run in exact.items():
+        assert want.get(pair) == run, (pair, run, want.get(pair))
+    for pair, run in want.items():
+        if run >= CFG.long_repeat_min_tokens + W - 1:
+            assert pair in exact, (pair, run)
