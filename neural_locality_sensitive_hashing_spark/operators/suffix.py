@@ -133,10 +133,18 @@ def long_repeat_pairs_exact(
     gram-hash — high-cardinality, salting-free. Same accepted xxhash64
     collision class as shingle_set (functions/text.py)."""
     gram_len = cfg.long_repeat_min_tokens
-    cand = long_repeat_pairs(
-        docs, cfg, id_col=id_col, text_col=text_col,
-        winnow_window=winnow_window,
-    ).select("a", "b")
+    # persisted: the candidate set feeds the match join AND (twice) the
+    # id semi-join pruning — unpersisted, the winnow join would re-run
+    # three times (same cache lifecycle contract as dedup.py's sigs:
+    # caller clears via clearCache / unpersisting the plan's caches)
+    cand = (
+        long_repeat_pairs(
+            docs, cfg, id_col=id_col, text_col=text_col,
+            winnow_window=winnow_window,
+        )
+        .select("a", "b")
+        .persist()
+    )
     ids = (
         cand.select(F.col("a").alias("doc_id"))
         .union(cand.select("b"))

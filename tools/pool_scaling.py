@@ -25,27 +25,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    session_paths = sys.argv[1:]
-    if len(session_paths) < 2:
-        raise SystemExit(__doc__)
-
+def _pool_pair(
+    session_paths: list[str], sessions: list[dict], idx: int
+) -> dict:
+    """Pool pair position `idx` across sessions: all walls concatenated,
+    min/median efficiency over the pooled sets, determinism invariant
+    re-asserted per level per session."""
     lo_walls: list[float] = []
     hi_walls: list[float] = []
     docs = None
     clusters = None
     pair_label = None
-    for p in session_paths:
-        with open(p) as f:
-            d = json.load(f)
-        # headline pair = the first recorded pair; a session that also ran
-        # extra pairs (e.g. the 1x2,4x2 bandwidth-diagnostic pair) must
-        # still lead with the same headline pair as the others
-        pair = d["pairs"][0]
+    for p, d in zip(session_paths, sessions):
+        pair = d["pairs"][idx]
         if pair_label is None:
             pair_label = pair["pair"]
         assert pair["pair"] == pair_label, (
-            f"{p}: headline pair {pair['pair']!r} != {pair_label!r}"
+            f"{p}: pair[{idx}] {pair['pair']!r} != {pair_label!r}"
         )
         lo, hi = pair["lo"], pair["hi"]
         assert len(lo["walls"]) == len(hi["walls"]), f"{p}: unequal trial counts"
@@ -69,12 +65,10 @@ def main() -> None:
     cores = lambda s: int(s.split("x")[0]) * int(s.split("x")[1])  # noqa: E731
     factor = cores(hi_spec) / cores(lo_spec)
     dps = lambda w: docs / w  # noqa: E731
-    out = {
-        "mode": "executors",
+    return {
         "docs": docs,
         "trials_per_level": len(lo_walls),
         "pair": pair_label,
-        "sessions": [os.path.basename(p) for p in session_paths],
         "lo_walls": lo_walls,
         "hi_walls": hi_walls,
         "eff_min": round(dps(min(hi_walls)) / (factor * dps(min(lo_walls))), 3),
@@ -84,6 +78,31 @@ def main() -> None:
             3,
         ),
         "clusters": clusters,
+    }
+
+
+def main() -> None:
+    session_paths = sys.argv[1:]
+    if len(session_paths) < 2:
+        raise SystemExit(__doc__)
+
+    sessions = []
+    for p in session_paths:
+        with open(p) as f:
+            sessions.append(json.load(f))
+
+    # headline pair = the first recorded pair in every session; sessions
+    # that also ran extra diagnostic pairs (e.g. the 1x2,4x2 bandwidth
+    # pair) get those pooled too when EVERY session carries them
+    headline = _pool_pair(session_paths, sessions, 0)
+    n_common = min(len(d["pairs"]) for d in sessions)
+    extra = [_pool_pair(session_paths, sessions, i) for i in range(1, n_common)]
+
+    out = {
+        "mode": "executors",
+        "sessions": [os.path.basename(p) for p in session_paths],
+        **headline,
+        "extra_pairs": extra,
     }
     with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as f:
         json.dump(out, f, indent=1)
