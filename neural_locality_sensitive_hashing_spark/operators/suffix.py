@@ -107,6 +107,7 @@ def long_repeat_pairs_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     winnow_window: int = 16,
+    persist_grams: bool = False,
 ) -> DataFrame:
     """-> (a, b, max_run): candidate pairs from the winnowed fingerprint
     join, each verified with the EXACT length in tokens of the longest
@@ -153,16 +154,25 @@ def long_repeat_pairs_exact(
     token_hashes = F.transform(
         T.tokens(F.col(text_col)), lambda t: F.xxhash64(t)
     )
-    gp = (
-        docs.select(F.col(id_col).alias("doc_id"), token_hashes.alias("th"))
-        .join(ids, "doc_id")  # candidate docs only
-        .select(
-            "doc_id",
-            F.posexplode(make_gram_hash_udf(gram_len)(F.col("th"))).alias(
-                "i", "g"
-            ),
-        )
+    # gp feeds both sides of the match join below on DIFFERENT shuffle
+    # keys (l on doc_id=a, r on (doc_id, g)), so ReusedExchange cannot
+    # deduplicate them and the ids semi-join + gram-hash UDF executes
+    # twice. Caching the compact (doc_id, gram-array) frame would remove
+    # the double execution, but an A/B at 1M docs / local[32] / 8g shared
+    # heap was INCONCLUSIVE under host noise (cached walls 74-119 s,
+    # recomputed 60-133 s in adjacent windows — BENCH/BASELINE.md
+    # long-repeat section), while the candidate-doc gram arrays (~GBs
+    # deserialized for ~0.5M docs) clearly pressure a storage pool this
+    # small. Default = recompute (no cache footprint); on a cluster with
+    # per-executor memory sized for the candidate set, flip persist_grams.
+    ga = docs.select(
+        F.col(id_col).alias("doc_id"), token_hashes.alias("th")
+    ).join(ids, "doc_id").select(  # candidate docs only
+        "doc_id", make_gram_hash_udf(gram_len)(F.col("th")).alias("gh")
     )
+    if persist_grams:
+        ga = ga.persist()
+    gp = ga.select("doc_id", F.posexplode("gh").alias("i", "g"))
     m = (
         cand.join(gp.alias("l"), F.col("a") == F.col("l.doc_id"))
         .join(

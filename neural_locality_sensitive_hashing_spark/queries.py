@@ -1338,28 +1338,9 @@ FROM best
 """
 
 
-def q_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language doc count / mean / max token stats. NOT in the
-    driver registry since round 8: the same aggregates are value-checked
-    inside lang_token_quartiles' row (n_docs/avg_tokens/max_tokens
-    columns — see its docstring); kept exported for tests."""
-    docs = load(spark, sf_dir, "documents")
-    return (
-        docs.select("lang", T.token_count(F.col("text")).alias("n"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("n"), 4).alias("avg_tokens"),
-            F.max("n").alias("max_tokens"),
-        )
-    )
-
-
-SQL_LANG_SUMMARY = f"""
-WITH toks AS (SELECT lang, len({_SQL_TOKS}) AS n FROM documents)
-SELECT lang, count(*) AS n_docs, round(avg(n), 4) AS avg_tokens, max(n) AS max_tokens
-FROM toks GROUP BY lang
-"""
+# q_lang_summary retired in round 8: its aggregates are value-checked
+# inside lang_token_quartiles' row (n_docs/avg_tokens/max_tokens) and
+# nothing else referenced it — deleted rather than kept as dead code.
 
 
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,7 +1888,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOT in the driver registry since round 8: both kernels are
     value-checked inside doc_profile's row (n_tokens/bpe_tokens — see
-    its docstring); this stays exported for bench.py's series."""
+    its docstring); this stays exported ONLY for bench.py's per-query
+    series (its oracle SQL was deleted with the registry row)."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -1916,15 +1898,6 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), F.lit(0))
         ).alias("bpe_tokens"),
     )
-
-
-SQL_TOKEN_STATS = f"""
-SELECT doc_id,
-       len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
-                       x -> x <> '')) AS ws_tokens,
-       len(regexp_extract_all(text, '{BPE_REGEX}')) AS bpe_tokens
-FROM documents
-"""
 
 
 # --- deterministic sampling & sketches (training-data pipeline ops) ----------
@@ -2623,13 +2596,17 @@ def q_user_sessions_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test is the incremental sessionizer itself. Fresh per-call
     checkpoint/input under a tmpdir.
 
-    The time split is DISTRIBUTED: cut points come from one exact
-    percentile aggregate over ts (a single scalar row to the driver) and
-    each batch is a filtered executor-side write — the events table is
-    never materialized on the driver, so the lane query stays runnable
-    at any sf (any value-based time split yields the same sessions; the
-    operator only requires batches be non-decreasing in event time
-    BETWEEN files, which the strict < cut guarantees)."""
+    The time split is DISTRIBUTED: cut points come from one
+    approx_percentile aggregate over ts (constant-memory QuantileSummaries
+    sketch — an EXACT percentile would buffer every near-unique timestamp
+    in one aggregation task, the very blowup this rewrite removes; see
+    q_lang_token_quartiles' discipline note) and each batch is a filtered
+    executor-side write — the events table is never materialized on the
+    driver, so the lane query stays runnable at any sf (ANY value-based
+    time split yields the same sessions, so the sketch's cut placement
+    never affects the answer; the operator only requires batches be
+    non-decreasing in event time BETWEEN files, which the strict < cut
+    guarantees)."""
     import datetime as _dt
     import glob
     import os
@@ -2647,8 +2624,8 @@ def q_user_sessions_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine's pinned-UTC session
     bounds = ev.agg(
         F.expr(
-            "percentile(unix_micros(cast(ts as timestamp)),"
-            " array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))"
+            "approx_percentile(unix_micros(cast(ts as timestamp)),"
+            " array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3), 10000)"
         ).alias("cuts"),
         F.max("ts").alias("mx"),
     ).collect()[0]

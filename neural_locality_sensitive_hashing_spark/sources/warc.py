@@ -356,6 +356,27 @@ def _parse_partitions(batches):
     yield pd.DataFrame(rows, columns=cols)
 
 
+def _is_utc_zone(tz: str) -> bool:
+    """True iff zone id `tz` is fixed at UTC+0. Offset-checked via
+    zoneinfo (accepts 'Etc/GMT', 'GMT0', 'Etc/Universal', ...) rather
+    than a spelling whitelist, so a correctly-UTC external session is
+    never refused; literal-offset spellings zoneinfo can't parse
+    ('Z', '+00:00') are matched directly. Probed at two instants six
+    months apart to exclude DST zones that merely pass through UTC+0."""
+    if tz in ("UTC", "Z", "+00:00", "-00:00", "GMT"):
+        return True
+    try:
+        from datetime import datetime, timedelta
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        return all(
+            z.utcoffset(datetime(2026, m, 1)) == timedelta(0) for m in (1, 7)
+        )
+    except Exception:
+        return False
+
+
 def _require_utc_session(spark) -> None:
     """WARC-Date is ALWAYS UTC (ISO 28500 §5.4), but the parse kernel
     hands Spark naive datetimes and the sink labels naive timestamps
@@ -364,7 +385,7 @@ def _require_utc_session(spark) -> None:
     externally built non-UTC session would silently shift every warc_ts,
     so the boundary is asserted here instead of assumed."""
     tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+    if not _is_utc_zone(tz):
         raise ValueError(
             f"WARC timestamps are UTC per ISO 28500, but "
             f"spark.sql.session.timeZone={tz!r}: naive warc_ts values "

@@ -206,7 +206,7 @@ def main() -> None:
             else:
                 # construction truth: the tier must collapse every recrawl
                 # variant onto its base page, nothing more, nothing less
-                assert count == n_pages, f"first_tier: {count} != {n_pages}"
+                assert count == n_pages, f"{name}: {count} != {n_pages}"
             med = statistics.median(walls)
             out["stages"][name] = {
                 "rows": count,
