@@ -133,3 +133,34 @@ def test_exact_verify_agrees_with_lane_diagonal_kernel(spark, pages_1k):
     for pair, run in want.items():
         if run >= CFG.long_repeat_min_tokens + W - 1:
             assert pair in exact, (pair, run)
+
+
+def test_exact_verify_persist_grams_equivalent(spark):
+    """persist_grams=True (the real-cluster memory knob) must be purely a
+    physical choice: identical (a, b, max_run) output as the default
+    recompute path on the same input."""
+    from neural_locality_sensitive_hashing_spark.operators.suffix import (
+        long_repeat_pairs_exact,
+    )
+
+    rng = np.random.default_rng(31)
+    block = _words(rng, 100)
+    rows = [
+        (0, " ".join(_words(rng, 80) + block + _words(rng, 40))),
+        (1, " ".join(block + _words(rng, 120))),
+        (2, " ".join(_words(rng, 200))),
+        (3, " ".join(_words(rng, 60) + block)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        (r.a, r.b, r.max_run)
+        for r in long_repeat_pairs_exact(df, CFG, winnow_window=W).collect()
+    )
+    cached = sorted(
+        (r.a, r.b, r.max_run)
+        for r in long_repeat_pairs_exact(
+            df, CFG, winnow_window=W, persist_grams=True
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert base == cached and base, base

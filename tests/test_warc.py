@@ -496,3 +496,18 @@ def test_fractional_date_roundtrip_through_encode():
     }
     got = parse_warc_records(encode_warc([rec]))
     assert got[0]["date"] == rec["date"]
+
+
+def test_is_utc_zone_accepts_fixed_utc_aliases_only():
+    """The UTC-session guard must accept every fixed-UTC+0 zone id (not
+    just a spelling whitelist) and reject anything with a nonzero or
+    DST-varying offset — including zones that merely pass through UTC+0
+    part of the year (Europe/London in winter)."""
+    from neural_locality_sensitive_hashing_spark.sources.warc import _is_utc_zone
+
+    for tz in ["UTC", "Etc/UTC", "GMT", "Z", "+00:00", "Etc/GMT", "GMT0",
+               "Etc/Universal", "Etc/Zulu", "Etc/Greenwich"]:
+        assert _is_utc_zone(tz), tz
+    for tz in ["America/New_York", "Europe/London", "Asia/Tokyo",
+               "Etc/GMT-1", "Etc/GMT+1", "+01:00", "not-a-zone", ""]:
+        assert not _is_utc_zone(tz), tz
