@@ -47,6 +47,13 @@ WARC_SCHEMA = (
     "path string, seq long, url string, warc_ts timestamp, html binary"
 )
 
+# WET (Common Crawl's extracted-text distribution): same WARC container,
+# records are WARC-Type: conversion with a text/plain payload — the
+# pipeline's `text` column directly, no html and no HTTP envelope.
+WET_SCHEMA = (
+    "path string, seq long, url string, warc_ts timestamp, text string"
+)
+
 
 # ---------------------------------------------------------------------------
 # encode (test/datagen inverse, like encode_jpeg / encode_wav / encode_mp4)
@@ -98,6 +105,42 @@ def encode_warc(
             + b"\r\n"
         )
         record = headers + http + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)  # 31 = gzip wrapper
+            record = co.compress(record) + co.flush()
+        out.append(record)
+    return b"".join(out)
+
+
+def encode_wet(
+    records: Iterable[dict],
+    gzip_members: bool = True,
+    id_offset: int = 0,
+) -> bytes:
+    """WET bytes (Common Crawl's extracted-text layout) for an iterable
+    of ``{"url", "date", "text"}`` dicts: the same WARC/1.0 container as
+    :func:`encode_warc` but ``WARC-Type: conversion`` records whose
+    content block is the UTF-8 text/plain payload directly — no HTTP
+    envelope. Reference tie-in: the scan/sink contract is S1/S4's
+    "load = exactly what was written" (reference ``nlsh/data.py:23-49``),
+    here over CC's text distribution instead of the raw crawl."""
+    out = []
+    for i, rec in enumerate(records, start=id_offset):
+        body: bytes = rec["text"].encode("utf-8")
+        date = rec["date"]
+        if date.tzinfo is not None:
+            date = date.astimezone(timezone.utc).replace(tzinfo=None)
+        headers = (
+            _WARC_MAGIC
+            + b"WARC-Type: conversion\r\n"
+            + b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0001-%012d>\r\n" % i
+            + b"WARC-Date: " + _format_date(date).encode() + b"\r\n"
+            + b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
+            + b"Content-Type: text/plain\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            + b"\r\n"
+        )
+        record = headers + body + b"\r\n\r\n"
         if gzip_members:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)  # 31 = gzip wrapper
             record = co.compress(record) + co.flush()
@@ -356,6 +399,33 @@ def _parse_partitions(batches):
     yield pd.DataFrame(rows, columns=cols)
 
 
+def _parse_wet_partitions(batches):
+    """mapInPandas kernel for WET archives: the SAME certified record
+    walk (iter_warc_records — linear gzip, magic-resync, header/record
+    caps), selecting *conversion* records with a target URI and decoding
+    their text/plain payload as UTF-8 (replacement on malformed bytes,
+    total). Response/warcinfo/metadata records in a mixed archive are
+    skipped, mirroring _parse_partitions' response-only filter."""
+    import pandas as pd
+
+    cols = ["path", "seq", "url", "warc_ts", "text"]
+    max_bytes, max_rows = 32 << 20, 8192  # same flush bounds as WARC
+    rows, pending_bytes = [], 0
+    for pdf in batches:
+        for file_path, content in zip(pdf["path"], pdf["content"]):
+            for seq, rec in enumerate(iter_warc_records(bytes(content))):
+                if rec["warc_type"] == "conversion" and rec["url"]:
+                    text = rec["body"].decode("utf-8", "replace")
+                    rows.append(
+                        (file_path, seq, rec["url"], rec["date"], text)
+                    )
+                    pending_bytes += len(rec["body"])
+                    if len(rows) >= max_rows or pending_bytes >= max_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, pending_bytes = [], 0
+    yield pd.DataFrame(rows, columns=cols)
+
+
 def _is_utc_zone(tz: str) -> bool:
     """True iff zone id `tz` is fixed at UTC+0. Offset-checked via
     zoneinfo (accepts 'Etc/GMT', 'GMT0', 'Etc/Universal', ...) rather
@@ -406,6 +476,21 @@ def read_warc(spark, path: str):
     _require_utc_session(spark)
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(_parse_partitions, WARC_SCHEMA)
+
+
+def read_wet(spark, path: str):
+    """``(path, seq, url, warc_ts, text)`` DataFrame over WET archive
+    files (Common Crawl's extracted-text distribution; ``seq`` = the
+    record's parse-order ordinal within its file, counted over ALL
+    records so it stays aligned with read_warc on mixed archives).
+
+    Identical Spark shape to :func:`read_warc` — one binaryFile row per
+    archive -> mapInPandas, ZERO shuffles, parallelism = archive count —
+    over the same hardened record walk; only the record-type filter and
+    payload decode differ. Requires a UTC session timezone (asserted)."""
+    _require_utc_session(spark)
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_parse_wet_partitions, WET_SCHEMA)
 
 
 def read_warc_stream(spark, path: str, max_files_per_trigger: int = 1):
@@ -476,6 +561,27 @@ def warc_pages(spark, path: str):
     ).withColumn("lang", lang_id(F.col("text")))
 
 
+def wet_pages(spark, path: str):
+    """WET archives -> ``(crawl_id, url, warc_ts, text, lang)``: the
+    engine's page shape minus html (WET is text-only — extraction
+    already happened upstream), ready for the recrawl tier and content
+    dedup directly. Same content-derived ``crawl_id = xxhash64(path,
+    seq)`` contract as :func:`warc_pages` (deterministic across runs,
+    retries, replays; collision-checked by the job before building on
+    it); lang is the native Catalyst kernel over the shipped text."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.functions.text import lang_id
+
+    pages = read_wet(spark, path)
+    return pages.select(
+        F.xxhash64("path", "seq").alias("crawl_id"),
+        "url",
+        "warc_ts",
+        "text",
+    ).withColumn("lang", lang_id(F.col("text")))
+
+
 # ---------------------------------------------------------------------------
 # Spark sink
 # ---------------------------------------------------------------------------
@@ -509,6 +615,32 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
     Returns a ``(file, records)`` manifest DataFrame (one row per
     written archive; the action that triggers the write is the caller's
     — e.g. ``.collect()`` on the manifest)."""
+    return _archive_sink(
+        pages, out_dir, "html", ".warc", gzip_members, encode_warc, bytes
+    )
+
+
+def write_wet(pages, out_dir: str, gzip_members: bool = True):
+    """Distributed WET sink — the inverse of :func:`read_wet`: a
+    ``(url, warc_ts, text)`` DataFrame becomes one Common-Crawl-layout
+    extracted-text archive per partition (``part-NNNNN.wet[.gz]``), so
+    dedup survivors re-ship to WET-consuming tooling WITHOUT their html
+    payloads — typically several times smaller than the WARC form of
+    the same keep-list. Identical Spark shape, retry-safety (tmp +
+    atomic rename), null filtering, stale-output clearing, and
+    ``(file, records)`` manifest contract as :func:`write_warc`."""
+    return _archive_sink(
+        pages, out_dir, "text", ".wet", gzip_members, encode_wet, str
+    )
+
+
+def _archive_sink(pages, out_dir, payload_col, ext_base, gzip_members,
+                  encode_fn, payload_py):
+    """Shared partition-per-archive sink core (see write_warc's contract
+    docs): each task streams ITS OWN partition through ``encode_fn`` and
+    atomically renames one ``part-NNNNN{ext}`` file; no shuffle, no
+    driver materialization. ``payload_py`` coerces the pandas cell to
+    the encoder's payload type (bytes for html, str for text)."""
     import os as _os
     import uuid as _uuid
 
@@ -519,12 +651,12 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
     # correct when the session already interprets them as UTC
     _require_utc_session(pages.sparkSession)
     _os.makedirs(out_dir, exist_ok=True)
-    # clear stale output: a re-run with FEWER partitions must not leave
-    # part files from a previous, wider run mixed into the directory
+    # clear stale output OF THIS FAMILY: a re-run with FEWER partitions
+    # must not leave part files from a previous, wider run mixed in
     for stale in _os.listdir(out_dir):
-        if stale.startswith(("part-", ".tmp-")) and ".warc" in stale:
+        if stale.startswith(("part-", ".tmp-")) and ext_base in stale:
             _os.unlink(_os.path.join(out_dir, stale))
-    ext = ".warc.gz" if gzip_members else ".warc"
+    ext = ext_base + (".gz" if gzip_members else "")
 
     def write_partition(batches):
         # stream the partition's batches into one archive
@@ -540,14 +672,14 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
                     {
                         "url": u,
                         "date": t.to_pydatetime(),
-                        "html": bytes(h),
+                        payload_col: payload_py(p),
                     }
-                    for u, t, h in zip(
-                        pdf["url"], pdf["warc_ts"], pdf["html"]
+                    for u, t, p in zip(
+                        pdf["url"], pdf["warc_ts"], pdf[payload_col]
                     )
                 ]
                 fh.write(
-                    encode_warc(
+                    encode_fn(
                         recs, gzip_members=gzip_members, id_offset=n
                     )
                 )
@@ -557,11 +689,11 @@ def write_warc(pages, out_dir: str, gzip_members: bool = True):
 
     from pyspark.sql import functions as F
 
-    # WARC cannot represent a record without a URI, a date, or a payload:
-    # null rows are filtered (documented), not crashed on mid-task
-    cleaned = pages.select("url", "warc_ts", "html").where(
+    # an archive cannot represent a record without a URI, a date, or a
+    # payload: null rows are filtered (documented), not crashed on
+    cleaned = pages.select("url", "warc_ts", payload_col).where(
         F.col("url").isNotNull()
         & F.col("warc_ts").isNotNull()
-        & F.col("html").isNotNull()
+        & F.col(payload_col).isNotNull()
     )
     return cleaned.mapInPandas(write_partition, "file string, records long")

@@ -511,3 +511,223 @@ def test_is_utc_zone_accepts_fixed_utc_aliases_only():
     for tz in ["America/New_York", "Europe/London", "Asia/Tokyo",
                "Etc/GMT-1", "Etc/GMT+1", "+01:00", "not-a-zone", ""]:
         assert not _is_utc_zone(tz), tz
+
+
+# ---------------------------------------------------------------------------
+# WET (Common Crawl extracted-text distribution)
+# ---------------------------------------------------------------------------
+
+
+def _wet_records(n: int, seed: int = 9) -> list[dict]:
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            "url": f"https://example{i % 3}.com/page/{i}",
+            "date": datetime(2024, 2, 1 + i % 27, i % 24, 30, i % 60),
+            "text": " ".join(
+                f"tok{int(x)}"
+                for x in rng.integers(0, 5000, int(rng.integers(5, 80)))
+            )
+            + (" déjà-vu ✓" if i % 4 == 0 else ""),
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_wet_roundtrip(gz):
+    """encode_wet -> the SAME certified record walk: conversion records
+    with the exact url/date/utf-8 text back (incl. non-ASCII)."""
+    from neural_locality_sensitive_hashing_spark.sources.warc import encode_wet
+
+    recs = _wet_records(9)
+    got = parse_warc_records(encode_wet(recs, gzip_members=gz))
+    assert len(got) == len(recs)
+    for want, have in zip(recs, got):
+        assert have["warc_type"] == "conversion"
+        assert have["url"] == want["url"]
+        assert have["date"] == want["date"]
+        assert have["body"].decode("utf-8") == want["text"]
+
+
+def test_read_wet_mixed_archive_zero_exchange(spark, tmp_path):
+    """On a MIXED archive, read_wet returns exactly the conversion
+    records and read_warc exactly the response records, with seq counted
+    over ALL records so the two readers' ordinals stay aligned (a
+    (path, seq) id names the same record whichever reader sees it);
+    read_wet's plan has ZERO exchanges like read_warc's."""
+    from tools.plan_audit import audit
+
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        encode_wet,
+        read_wet,
+    )
+
+    wet = _wet_records(5, seed=13)
+    warc = _records(4, seed=14)
+    blob, order, wi, ci = b"", [], 0, 0
+    for k in range(9):
+        if k % 2 == 0 and wi < len(warc):
+            blob += encode_warc([warc[wi]], id_offset=k)
+            wi += 1
+            order.append("response")
+        else:
+            blob += encode_wet([wet[ci]], id_offset=k)
+            ci += 1
+            order.append("conversion")
+    path = tmp_path / "mixed.warc.gz"
+    path.write_bytes(blob)
+
+    wdf = read_wet(spark, str(path))
+    assert audit(wdf)["exchanges"] == 0
+    rows = sorted(wdf.collect(), key=lambda r: r.seq)
+    assert [r.url for r in rows] == [w["url"] for w in wet]
+    assert [r.text for r in rows] == [w["text"] for w in wet]
+    assert [r.seq for r in rows] == [
+        i for i, o in enumerate(order) if o == "conversion"
+    ]
+    rrows = read_warc(spark, str(path)).collect()
+    assert sorted(r.url for r in rrows) == sorted(w["url"] for w in warc)
+    assert sorted(r.seq for r in rrows) == [
+        i for i, o in enumerate(order) if o == "response"
+    ]
+
+
+def test_wet_sink_roundtrip_and_family_scoped_clear(spark, tmp_path):
+    """write_wet: one archive per partition, manifest counts, no tmp
+    residue, exact roundtrip through read_wet — and its stale-output
+    clearing is FAMILY-scoped (a .warc archive already in the directory
+    survives a WET write)."""
+    from tools.plan_audit import audit
+
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        read_wet,
+        write_wet,
+    )
+
+    recs = _wet_records(15, seed=43)
+    pages = spark.createDataFrame(
+        [(r["url"], r["date"], r["text"]) for r in recs],
+        "url string, warc_ts timestamp, text string",
+    ).repartition(3)
+    out_dir = tmp_path / "sunk_wet"
+    out_dir.mkdir()
+    (out_dir / "part-99999.warc.gz").write_bytes(encode_warc(_records(1)))
+
+    manifest_df = write_wet(pages, str(out_dir))
+    assert audit(manifest_df)["exchanges"] <= 1  # the explicit repartition only
+    manifest = manifest_df.collect()
+    assert sum(m.records for m in manifest) == len(recs)
+    assert len(manifest) == 3
+    assert not [f for f in os.listdir(out_dir) if f.startswith(".tmp-")]
+    assert (out_dir / "part-99999.warc.gz").exists()
+
+    back = {r.url: r for r in read_wet(spark, str(out_dir)).collect()}
+    assert len(back) == len(recs)
+    for want in recs:
+        assert back[want["url"]].text == want["text"]
+        assert back[want["url"]].warc_ts == want["date"]
+
+
+def test_wet_pages_matches_native_lang_kernel(spark, tmp_path):
+    """wet_pages ships the WET text straight into the page shape with
+    lang from the SAME native kernel the parquet corpus uses, and the
+    content-derived crawl_id is distinct per record."""
+    from neural_locality_sensitive_hashing_spark.functions.text import lang_id
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        encode_wet,
+        wet_pages,
+    )
+
+    recs = _wet_records(12, seed=77)
+    (tmp_path / "a.wet.gz").write_bytes(encode_wet(recs[:7]))
+    (tmp_path / "b.wet.gz").write_bytes(encode_wet(recs[7:], id_offset=7))
+
+    got = wet_pages(spark, str(tmp_path) + "/*.wet.gz")
+    assert got.columns == ["crawl_id", "url", "warc_ts", "text", "lang"]
+    rows = got.collect()
+    assert len(rows) == len(recs)
+    assert len({r.crawl_id for r in rows}) == len(recs)
+    import pyspark.sql.functions as F
+
+    want_lang = {
+        r.text: r.lang
+        for r in spark.createDataFrame(
+            [(x["text"],) for x in recs], "text string"
+        ).select("text", lang_id(F.col("text")).alias("lang")).collect()
+    }
+    for r in rows:
+        assert r.lang == want_lang[r.text]
+
+
+def test_job_tool_from_wet_end_to_end(tmp_path):
+    """`run_dedup_job --from-wet --recrawl-dedup --survivors-wet-out`:
+    the whole pipeline from WET extracted-text archives in a fresh
+    spark-submit-style process, checked against construction truth —
+    same planted shape as the WARC job test (50 unique pages + recrawl
+    variants + 5 exact copies of page 0), and the survivors re-ship as
+    WET: text archives in, deduplicated text archives out."""
+    import json
+    import subprocess
+    import sys
+
+    from neural_locality_sensitive_hashing_spark.sources.warc import encode_wet
+
+    rng = np.random.default_rng(29)
+    words = np.array([f"w{i:03d}" for i in range(1000)])
+
+    def page_text(r):
+        return " ".join(r.choice(words, size=120))
+
+    base_texts = [page_text(rng) for _ in range(50)]
+    recs = []
+    for i, txt in enumerate(base_texts):
+        recs.append({
+            "url": f"https://site.com/p/{i}",
+            "date": datetime(2024, 5, 1, i % 24, 0, 0),
+            "text": txt,
+        })
+        if i % 10 == 0:  # 5 recrawl variants: collapsed BEFORE dedup
+            recs.append({
+                "url": f"https://site.com/p/{i}?utm_medium=y",
+                "date": datetime(2024, 5, 2, i % 24, 0, 0),
+                "text": txt,
+            })
+    for j in range(5):  # 5 exact-text copies of page 0 at DISTINCT urls
+        recs.append({
+            "url": f"https://mirror{j}.org/copy",
+            "date": datetime(2024, 5, 3, j, 0, 0),
+            "text": base_texts[0],
+        })
+    (tmp_path / "crawl.wet.gz").write_bytes(encode_wet(recs))
+
+    out = tmp_path / "report.json"
+    survivors_dir = tmp_path / "survivors_wet"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "run_dedup_job.py"),
+         "--pages", str(tmp_path), "--from-wet", "--recrawl-dedup",
+         "--survivors-wet-out", str(survivors_dir),
+         "--shuffle-partitions", "8", "--json-out", str(out)],
+        check=True, cwd=repo, timeout=420,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8", "PYTHONPATH": repo},
+    )
+    rep = json.loads(out.read_text())
+    assert rep["docs"] == 60              # 55 pages + 5 recrawl variants
+    assert rep["clusters"] == 50          # page0's 6 copies -> one cluster
+    assert rep["dup_pairs"] >= 5
+    assert rep["survivors_wet"]["records"] == 50
+    input_urls = {r["url"] for r in recs}
+    survivor_rows = []
+    for f in os.listdir(survivors_dir):
+        survivor_rows += parse_warc_records(
+            (survivors_dir / f).read_bytes()
+        )
+    assert len(survivor_rows) == 50
+    assert all(r["warc_type"] == "conversion" for r in survivor_rows)
+    assert {r["url"] for r in survivor_rows} <= input_urls
+    # the survivor texts are the keep-list texts, byte-exact
+    survivor_texts = {r["body"].decode("utf-8") for r in survivor_rows}
+    assert survivor_texts <= {r["text"] for r in recs}
+    assert base_texts[0] in survivor_texts

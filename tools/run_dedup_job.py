@@ -35,21 +35,34 @@ def _input_token(pages_path: str, n_docs: int) -> str:
     return h.hexdigest()[:24]
 
 
-def _write_survivors_warc(pages_full, clusters, out_dir: str) -> dict:
+def _write_survivors_archives(
+    pages_full, clusters, out_dir: str, fmt: str
+) -> dict:
     """Keep-list pages (one per cluster: doc_id == cluster_id) re-shipped
-    as WARC archives via the distributed sink — one shuffle (the doc_id
-    join back to the full pages), one archive per partition."""
+    as crawl archives via the distributed sink — one shuffle (the doc_id
+    join back to the full pages), one archive per partition. ``fmt`` =
+    'warc' (full pages: url/warc_ts/html) or 'wet' (extracted text only:
+    url/warc_ts/text — the Common Crawl WARC->WET flow applied to the
+    deduplicated keep-list)."""
     from pyspark.sql import functions as F
 
-    from neural_locality_sensitive_hashing_spark.sources.warc import write_warc
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        write_warc,
+        write_wet,
+    )
 
     survivors = clusters.where(
         F.col("doc_id") == F.col("cluster_id")
     ).select("doc_id")
-    kept = pages_full.join(survivors, "doc_id").select(
-        "url", "warc_ts", "html"
-    )
-    manifest = write_warc(kept, out_dir).collect()
+    kept = pages_full.join(survivors, "doc_id")
+    if fmt == "warc":
+        manifest = write_warc(
+            kept.select("url", "warc_ts", "html"), out_dir
+        ).collect()
+    else:
+        manifest = write_wet(
+            kept.select("url", "warc_ts", "text"), out_dir
+        ).collect()
     return {
         "dir": out_dir,
         "files": len(manifest),
@@ -70,11 +83,26 @@ def main() -> None:
         "runs from raw crawl files; pairs naturally with --recrawl-dedup",
     )
     ap.add_argument(
+        "--from-wet", action="store_true",
+        help="treat --pages as a directory of WET extracted-text archives "
+        "(.wet/.wet.gz, Common-Crawl layout): conversion records are parsed "
+        "with the same zero-shuffle reader into the (url, warc_ts, text, "
+        "lang) shape — text ships as-is (extraction happened upstream) and "
+        "the whole pipeline runs from there; pairs with --recrawl-dedup",
+    )
+    ap.add_argument(
         "--survivors-warc-out", default=None,
         help="(--from-warc only) write the dedup SURVIVORS — the keep-list "
         "pages, one row per cluster — back out as Common-Crawl-layout WARC "
         "archives (sources/warc.py write_warc, one archive per partition): "
         "crawl archives in, deduplicated crawl archives out",
+    )
+    ap.add_argument(
+        "--survivors-wet-out", default=None,
+        help="(--from-warc or --from-wet) write the dedup SURVIVORS as WET "
+        "extracted-text archives (write_wet, one archive per partition) — "
+        "the WARC->WET flow applied to the deduplicated keep-list; several "
+        "times smaller than the WARC form of the same survivors",
     )
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -151,10 +179,17 @@ def main() -> None:
     if args.with_simhash and args.shingle_bytes != 8:
         ap.error("--with-simhash requires --shingle-bytes 8 (the 64-bit "
                  "SimHash contract is defined over 64-bit shingle hashes)")
+    if args.from_warc and args.from_wet:
+        ap.error("--from-warc and --from-wet are mutually exclusive")
     if args.survivors_warc_out and not args.from_warc:
         ap.error("--survivors-warc-out needs --from-warc (only the WARC "
                  "input path carries the url/warc_ts/html page columns "
-                 "the archive writer re-ships)")
+                 "the archive writer re-ships; WET input has no html — "
+                 "use --survivors-wet-out)")
+    if args.survivors_wet_out and not (args.from_warc or args.from_wet):
+        ap.error("--survivors-wet-out needs --from-warc or --from-wet "
+                 "(only the archive input paths carry the url/warc_ts/"
+                 "text page columns the WET writer re-ships)")
     if args.checkpoint_dir and (args.with_simhash or args.with_longrepeat):
         # validate BEFORE the JVM starts and the input is scanned
         ap.error("--checkpoint-dir covers the exact-Jaccard pipeline; "
@@ -200,8 +235,11 @@ def main() -> None:
         verify_screen=args.verify_screen, shingle_hash_bytes=args.shingle_bytes
     )
 
-    if args.from_warc:
-        from neural_locality_sensitive_hashing_spark.sources.warc import warc_pages
+    if args.from_warc or args.from_wet:
+        from neural_locality_sensitive_hashing_spark.sources.warc import (
+            warc_pages,
+            wet_pages,
+        )
 
         # doc_id = the source's content-derived crawl_id (xxhash64 of
         # path + in-file record ordinal): stable across actions, task
@@ -209,8 +247,10 @@ def main() -> None:
         # NOT, and this lineage is re-executed by several downstream
         # actions. persist() so the count + signature build don't each
         # re-gunzip and re-parse every archive; html (the bulk of the
-        # bytes) is cached ONLY when --survivors-warc-out needs it back.
-        pages = warc_pages(spark, args.pages).withColumnRenamed(
+        # bytes) is cached ONLY when --survivors-warc-out needs it back
+        # (WET input carries no html at all).
+        src = warc_pages if args.from_warc else wet_pages
+        pages = src(spark, args.pages).withColumnRenamed(
             "crawl_id", "doc_id"
         )
         if not args.survivors_warc_out:
@@ -282,8 +322,12 @@ def main() -> None:
             kl.write.mode("overwrite").parquet(args.keep_list_out)
             report["keep_list_out"] = args.keep_list_out
         if args.survivors_warc_out:
-            report["survivors_warc"] = _write_survivors_warc(
-                pages_full, clusters, args.survivors_warc_out
+            report["survivors_warc"] = _write_survivors_archives(
+                pages_full, clusters, args.survivors_warc_out, "warc"
+            )
+        if args.survivors_wet_out:
+            report["survivors_wet"] = _write_survivors_archives(
+                pages_full, clusters, args.survivors_wet_out, "wet"
             )
         line = json.dumps(report)
         print(line)
@@ -369,8 +413,12 @@ def main() -> None:
         )
         report["keep_list_out"] = args.keep_list_out
     if args.survivors_warc_out:
-        report["survivors_warc"] = _write_survivors_warc(
-            pages_full, clusters, args.survivors_warc_out
+        report["survivors_warc"] = _write_survivors_archives(
+            pages_full, clusters, args.survivors_warc_out, "warc"
+        )
+    if args.survivors_wet_out:
+        report["survivors_wet"] = _write_survivors_archives(
+            pages_full, clusters, args.survivors_wet_out, "wet"
         )
     line = json.dumps(report)
     print(line)
