@@ -526,6 +526,31 @@ def read_warc_stream(spark, path: str, max_files_per_trigger: int = 1):
     )
 
 
+def read_wet_stream(spark, path: str, max_files_per_trigger: int = 1):
+    """Streaming flavour of :func:`read_wet`: WET archives landing in
+    ``path`` become micro-batches of ``(crawl_id, path, url, warc_ts,
+    text)`` rows. Same deterministic content-derived
+    ``crawl_id = xxhash64(path, seq)`` and zero-shuffle shape as
+    :func:`read_warc_stream` — only the record-type filter and payload
+    differ."""
+    from pyspark.sql import functions as F
+
+    _require_utc_session(spark)
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_parse_wet_partitions, WET_SCHEMA).withColumn(
+        "crawl_id", F.xxhash64("path", "seq")
+    )
+
+
 def warc_pages(spark, path: str):
     """WARC archives -> the engine's input-hint page shape
     ``(crawl_id, url, warc_ts, html, text, lang)``, ready for the

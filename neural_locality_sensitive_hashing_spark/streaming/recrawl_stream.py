@@ -261,3 +261,32 @@ def run_incremental_recrawl_warc(
     )
     q.awaitTermination()
     return sink
+
+
+def run_incremental_recrawl_wet(
+    spark: SparkSession,
+    wet_dir: str,
+    state_dir: str,
+    store_parts: int = 16,
+    max_files_per_trigger: int = 1,
+) -> IncrementalRecrawl:
+    """WET flavour of :func:`run_incremental_recrawl_warc`: extracted-text
+    archives landing in ``wet_dir`` drain into the same latest-crawl
+    store — the store is a (canonical_url, crawl_id, url, warc_ts, ...)
+    index with no payload column, so the two archive flavours feed it
+    identically; only the zero-shuffle parse differs. Same content-derived
+    ``crawl_id`` replay-idempotence contract."""
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        read_wet_stream,
+    )
+
+    sink = IncrementalRecrawl(spark, state_dir, store_parts, id_col="crawl_id")
+    pages = read_wet_stream(spark, wet_dir, max_files_per_trigger)
+    q = (
+        pages.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", os.path.join(state_dir, "_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

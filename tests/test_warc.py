@@ -731,3 +731,69 @@ def test_job_tool_from_wet_end_to_end(tmp_path):
     survivor_texts = {r["body"].decode("utf-8") for r in survivor_rows}
     assert survivor_texts <= {r["text"] for r in recs}
     assert base_texts[0] in survivor_texts
+
+
+def test_streaming_wet_ingestion_matches_batch_tier(spark, tmp_path):
+    """WET flavour of continuous ingestion: text archives drained
+    one-per-micro-batch through run_incremental_recrawl_wet leave the
+    latest-crawl store EQUAL to the batch tier over the same directory,
+    including the cross-archive winner replacement and the
+    older-duplicate no-replace cases."""
+    from pyspark.sql import functions as F
+
+    from neural_locality_sensitive_hashing_spark.operators.recrawl import (
+        latest_crawl_per_url,
+    )
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        encode_wet,
+        read_wet,
+    )
+    from neural_locality_sensitive_hashing_spark.streaming.recrawl_stream import (
+        run_incremental_recrawl_wet,
+    )
+
+    wet_dir = tmp_path / "crawl_wet"
+    wet_dir.mkdir()
+
+    def rec(url, day, hour, tag):
+        return {
+            "url": url,
+            "date": datetime(2024, 6, day, hour, 0, 0),
+            "text": tag,
+        }
+
+    archives = [
+        [rec("https://a.com/x", 1, 0, "x v1"), rec("https://b.com/y", 1, 1, "y v1")],
+        [rec("https://a.com/x?utm_source=s", 2, 0, "x v2"),
+         rec("https://c.com/z", 2, 1, "z v1")],
+        [rec("https://B.com/y/", 1, 0, "y v0"), rec("https://a.com/x#f", 3, 0, "x v3")],
+    ]
+    for i, recs in enumerate(archives):
+        (wet_dir / f"arc{i}.wet.gz").write_bytes(encode_wet(recs))
+
+    sink = run_incremental_recrawl_wet(
+        spark, str(wet_dir), str(tmp_path / "state_wet"), store_parts=4
+    )
+    got = sorted(
+        (r.canonical_url, r.url, r.warc_ts, r.n_crawls)
+        for r in sink.latest_crawls().collect()
+    )
+
+    batch = latest_crawl_per_url(
+        read_wet(spark, str(wet_dir)).withColumn(
+            "crawl_id", F.xxhash64("path", "seq")
+        ),
+        id_col="crawl_id",
+    )
+    want = sorted(
+        (r.canonical_url, r.url, r.warc_ts, r.n_crawls)
+        for r in batch.select(
+            "canonical_url", "url", "warc_ts", "n_crawls"
+        ).collect()
+    )
+    assert got == want
+    by_canon = {g[0]: g for g in got}
+    assert by_canon["https://a.com/x"][2] == datetime(2024, 6, 3, 0, 0, 0)
+    assert by_canon["https://a.com/x"][3] == 3
+    assert by_canon["https://b.com/y"][2] == datetime(2024, 6, 1, 1, 0, 0)
+    assert by_canon["https://b.com/y"][3] == 2
