@@ -32,6 +32,21 @@ from neural_locality_sensitive_hashing_spark.config import DedupConfig
 from neural_locality_sensitive_hashing_spark.functions import text as T
 
 
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every cached intermediate registered by
+    :func:`long_repeat_pairs_exact` in this process. Long-lived drivers
+    that call the operator repeatedly should invoke this once the
+    returned plan has been consumed (the explicit counterpart to the
+    blunt ``spark.catalog.clearCache()`` contract — this releases ONLY
+    the suffix-stage caches, leaving e.g. a concurrently-live dedup
+    sigs cache intact)."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
 def _gram_weights(gram_len: int) -> np.ndarray:
     rng = np.random.default_rng(7919 * gram_len)
     return (rng.integers(1, 2**63, size=gram_len, dtype=np.uint64) * 2 + 1).astype(np.uint64)
@@ -108,11 +123,22 @@ def long_repeat_pairs_exact(
     text_col: str = "text",
     winnow_window: int = 16,
     persist_grams: bool = False,
+    complete_only: bool = True,
 ) -> DataFrame:
     """-> (a, b, max_run): candidate pairs from the winnowed fingerprint
     join, each verified with the EXACT length in tokens of the longest
     verbatim block the pair shares — the §2.8 suffix-array pass carried
     to its end at scale without materializing a suffix array.
+
+    Completeness contract: every reported max_run is exact, but the SET
+    of pairs is complete only at or above the winnowing guarantee bound
+    gram_len + winnow_window - 1. Below it, a pair appears only when
+    winnowing happened to sample a shared fingerprint (best-effort).
+    ``complete_only=True`` (default) filters the output to the bound so
+    the result is both exact AND complete over what it returns;
+    ``complete_only=False`` additionally keeps the best-effort
+    sub-bound rows — callers must then threshold at the bound
+    themselves before treating the set as exhaustive.
 
     Two-stage shape (the classical candidate -> verify discipline every
     other dedup tier here uses):
@@ -136,8 +162,9 @@ def long_repeat_pairs_exact(
     gram_len = cfg.long_repeat_min_tokens
     # persisted: the candidate set feeds the match join AND (twice) the
     # id semi-join pruning — unpersisted, the winnow join would re-run
-    # three times (same cache lifecycle contract as dedup.py's sigs:
-    # caller clears via clearCache / unpersisting the plan's caches)
+    # three times. Handles are registered in _LIVE_CACHES so long-lived
+    # callers can release exactly these via release_caches() once the
+    # returned plan is consumed (clearCache() also works, but blunt).
     cand = (
         long_repeat_pairs(
             docs, cfg, id_col=id_col, text_col=text_col,
@@ -146,6 +173,7 @@ def long_repeat_pairs_exact(
         .select("a", "b")
         .persist()
     )
+    _LIVE_CACHES.append(cand)
     ids = (
         cand.select(F.col("a").alias("doc_id"))
         .union(cand.select("b"))
@@ -172,6 +200,7 @@ def long_repeat_pairs_exact(
     )
     if persist_grams:
         ga = ga.persist()
+        _LIVE_CACHES.append(ga)
     gp = ga.select("doc_id", F.posexplode("gh").alias("i", "g"))
     m = (
         cand.join(gp.alias("l"), F.col("a") == F.col("l.doc_id"))
@@ -187,12 +216,15 @@ def long_repeat_pairs_exact(
     )
     w = Window.partitionBy("a", "b", "diag").orderBy("i")
     runs = m.withColumn("grp", F.col("i") - F.row_number().over(w))
-    return (
+    out = (
         runs.groupBy("a", "b", "diag", "grp")
         .agg(F.count("*").alias("rl"))
         .groupBy("a", "b")
         .agg((F.max("rl") + F.lit(gram_len - 1)).alias("max_run"))
     )
+    if complete_only:
+        out = out.where(F.col("max_run") >= F.lit(gram_len + winnow_window - 1))
+    return out
 
 
 def long_repeat_pairs(

@@ -41,6 +41,37 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_LANE_TMP: str | None = None
+
+
+def _lane_result(out: DataFrame) -> DataFrame:
+    """Executor-side re-materialization for lane queries whose INPUTS live
+    in a per-call tmpdir (incremental stores, archive directories, stream
+    checkpoints): the result is written to a session-scoped temp parquet
+    and returned as the lazy read-back, so the per-call input dir can be
+    deleted without the returned plan dangling — and the lane NEVER
+    collects result rows onto the driver at any sf (this replaced the
+    round-8 ``rows = out.collect(); createDataFrame(rows, schema)``
+    scaffolding, which at a larger driver sf would have materialized
+    whole cluster/session tables driver-side). The write is a normal
+    distributed action; the result parquet lives until interpreter exit
+    (one session-scoped dir, atexit-cleaned), which outlives the
+    driver's later collect on the returned DataFrame."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    global _LANE_TMP
+    if _LANE_TMP is None:
+        _LANE_TMP = tempfile.mkdtemp(prefix="nlsh_lane_results_")
+        atexit.register(shutil.rmtree, _LANE_TMP, ignore_errors=True)
+    path = os.path.join(_LANE_TMP, uuid.uuid4().hex[:12])
+    out.write.parquet(path)
+    return out.sparkSession.read.parquet(path)
+
+
 # --- shared SQL fragments (DuckDB) -----------------------------------------
 
 _SQL_TOKS = (
@@ -380,9 +411,8 @@ def q_minhash_dedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataF
         out = dedup.dup_pairs().select(
             "a", "b", F.round("jaccard", 6).alias("jaccard")
         )
-        # materialize before the tmp store is deleted
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # executor-side materialization before the tmp store is deleted
+        return _lane_result(out)
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
@@ -417,9 +447,8 @@ def q_minhash_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> Da
             dedup.dup_pairs(), CFG.max_cc_iterations
         )
         out = clusters_with_singletons(labels, docs)
-        # materialize before the tmp store is deleted
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # executor-side materialization before the tmp store is deleted
+        return _lane_result(out)
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
@@ -555,9 +584,8 @@ def q_recrawl_latest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = sink.latest_crawls().select(
             "crawl_id", "canonical_url", "n_crawls"
         )
-        # materialize before the tmp store is deleted
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # executor-side materialization before the tmp store is deleted
+        return _lane_result(out)
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
@@ -650,33 +678,127 @@ def q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = warc_pages(spark, f"{out_dir}/part-*.warc.gz").select(
             "url", "warc_ts", "text", "lang"
         )
-        # materialize before the tmp archives are deleted
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # executor-side materialization before the tmp archives are deleted
+        return _lane_result(out)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def _sql_warc_pages(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """Oracle: the planted crawls table itself, with lang re-derived by
-    the SAME stopword-score CASE the doc_profile oracle pins against
+def q_wet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET extracted-text tier (N33, sources/warc.py) in the
+    value-check lane, AND the mixed-archive type-filter split in the
+    same row: ONE tmpdir receives BOTH archive families for the planted
+    crawls table — write_warc encodes (url, warc_ts, html) into
+    ``part-NNNNN.warc.gz`` and write_wet encodes (url, warc_ts, text)
+    into ``part-NNNNN.wet.gz`` (4 archives each, the family-scoped
+    stale-clear leaving the other family untouched) — and BOTH sources
+    then read the SAME ``part-*`` glob over the mixed directory.
+    read_warc's response-record filter must pick out exactly the WARC
+    family's pages (re-deriving text from html via the frozen
+    extractor) and read_wet's conversion-record filter exactly the WET
+    family's (text shipped as-is), each tagged with its src. The oracle
+    is DuckDB over the SAME planted parquet crossed with the two src
+    tags, so a green row certifies, in the hard lane: WET encode ->
+    parse == ground truth (the round-8 gap — N33 was the only engine
+    tier without a lane row), the record-type filter split on a mixed
+    directory (previously pytest-only, tests/test_warc.py), and the
+    WARC roundtrip again beside it. The reference tie-in is the S1/S4
+    scan/sink contract (nlsh/data.py:23-49, precompute.py:92-97: load
+    returns exactly what was written). Archives are scaffolding (fresh
+    tmpdir per call); the operators under test are the two sinks, the
+    two record-walk parsers, and the extractor."""
+    import shutil
+    import tempfile
+
+    from neural_locality_sensitive_hashing_spark.functions.text import (
+        escape_html_text,
+    )
+    from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
+    from neural_locality_sensitive_hashing_spark.sources.warc import (
+        warc_pages,
+        wet_pages,
+        write_warc,
+        write_wet,
+    )
+
+    crawls = spark.read.parquet(ensure_planted_crawls(sf_dir))
+    # planted warc_ts is NTZ; value-identical TZ cast under the
+    # pinned-UTC session (the sinks assert UTC)
+    ts = F.col("warc_ts").cast("timestamp").alias("warc_ts")
+    html_pages = crawls.select(
+        "crawl_id",
+        "url",
+        ts,
+        F.concat(
+            F.lit("<html><head><title>crawl</title></head><body>"
+                  "<header>nav</header><main><p>"),
+            escape_html_text(F.col("text")),
+            F.lit("</p></main><footer>f</footer></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    text_pages = crawls.select("crawl_id", "url", ts, "text")
+    out_dir = tempfile.mkdtemp(prefix="nlsh_wet_lane_")
+    try:
+        # 4 partitions per family -> 8 archives in ONE directory
+        write_warc(html_pages.repartition(4, "crawl_id"), out_dir).count()
+        write_wet(text_pages.repartition(4, "crawl_id"), out_dir).count()
+        mixed = f"{out_dir}/part-*"  # matches BOTH .warc.gz and .wet.gz
+        w = warc_pages(spark, mixed).select(
+            F.lit("warc").alias("src"), "url", "warc_ts", "text", "lang"
+        )
+        t = wet_pages(spark, mixed).select(
+            F.lit("wet").alias("src"), "url", "warc_ts", "text", "lang"
+        )
+        # executor-side materialization before the tmp archives are deleted
+        return _lane_result(w.unionByName(t))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _sql_planted_pages_with_lang(sf_dir: str) -> str:
+    """Shared oracle CTE body for the archive-roundtrip lanes: the
+    planted crawls table itself, with lang re-derived by the SAME
+    stopword-score CASE the doc_profile oracle pins against
     functions/text.py::lang_id — certifying that what comes back out of
-    the archives is exactly what went in."""
+    the archives is exactly what went in. Ends in a ``pages`` CTE of
+    (url, warc_ts, text, lang)."""
     from neural_locality_sensitive_hashing_spark.planted import ensure_planted_crawls
 
     crawls = ensure_planted_crawls(sf_dir)
     return f"""
-WITH raw AS (SELECT url, warc_ts, text FROM read_parquet('{crawls}')),
+raw AS (SELECT url, warc_ts, text FROM read_parquet('{crawls}')),
 toks AS (SELECT *, {_SQL_TOKS} AS t FROM raw),
 scored AS (SELECT *, {_sql_lang_scores()} FROM toks),
-best AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS s_best FROM scored)
-SELECT url, warc_ts, text,
-  CASE WHEN s_best > 0 AND s_en = s_best THEN 'en'
-       WHEN s_best > 0 AND s_de = s_best THEN 'de'
-       WHEN s_best > 0 AND s_fr = s_best THEN 'fr'
-       WHEN s_best > 0 AND s_es = s_best THEN 'es'
-       ELSE 'und' END AS lang
-FROM best
+best AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS s_best FROM scored),
+pages AS (
+  SELECT url, warc_ts, text,
+    CASE WHEN s_best > 0 AND s_en = s_best THEN 'en'
+         WHEN s_best > 0 AND s_de = s_best THEN 'de'
+         WHEN s_best > 0 AND s_fr = s_best THEN 'fr'
+         WHEN s_best > 0 AND s_es = s_best THEN 'es'
+         ELSE 'und' END AS lang
+  FROM best
+)"""
+
+
+def _sql_warc_pages(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+WITH {_sql_planted_pages_with_lang(sf_dir)}
+SELECT url, warc_ts, text, lang FROM pages
+"""
+
+
+def _sql_wet_pages(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle for the mixed-archive WET lane: the planted pages table
+    once per source family — q_wet_pages reads the SAME mixed directory
+    through BOTH sources, and each must recover exactly the planted
+    rows from its own family's archives (the WARC side re-deriving text
+    from html, the WET side shipping text as-is)."""
+    return f"""
+WITH {_sql_planted_pages_with_lang(sf_dir)}
+SELECT s.src, p.url, p.warc_ts, p.text, p.lang
+FROM pages p
+CROSS JOIN (SELECT 'warc' AS src UNION ALL SELECT 'wet') s
 """
 
 
@@ -862,6 +984,10 @@ def q_long_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(T.shingles(toks, LONG_REPEAT_GRAM)).alias("i", "g"),
     ).where(F.size(T.tokens(F.col("g"))) >= F.lit(LONG_REPEAT_GRAM))
+    # persisted: the positional-gram self-join (the heaviest stage) feeds
+    # BOTH the diagonal-run aggregation and the n_shared aggregation —
+    # unpersisted it would execute twice (same cache lifecycle contract
+    # as dedup.py's sigs: bench/driver clearCache between queries)
     m = (
         gp.alias("l")
         .join(gp.alias("r"), "g")
@@ -873,6 +999,7 @@ def q_long_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l.i") - F.col("r.i")).alias("diag"),
             "g",
         )
+        .persist()
     )
     w = Window.partitionBy("a", "b", "diag").orderBy("i")
     runs = m.withColumn("grp", F.col("i") - F.row_number().over(w))
@@ -1688,80 +1815,85 @@ SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= {ANN_K}
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector moments PLUS the P1+P2 preprocessing value-check that
+    round 9 folded in from the retired ``embedding_normalized`` row (the
+    50-row cap admits the WET lane row in its place; same consolidation
+    move as token_stats -> doc_profile in round 8): ``l2_val_sum`` is the
+    per-vector sum of the rounded unit-sphere projections (reference
+    nlsh/data.py:9-10,35-37) and ``z_val_sum`` the per-vector sum of the
+    rounded per-dimension corpus z-scores with sample stddev
+    (nlsh/data.py:29-33), so both kernels stay value-checked per vec_id
+    under one row. The sums are over ALREADY-ROUNDED values cast to
+    decimal, making them summation-order-proof under the bit-exact
+    oracle hash (the only residual is the same last-ulp-at-a-round-6-
+    half-boundary odds the retired row tolerated for eight green
+    rounds).
+
+    Scale shape unchanged from the retired row: z-score moments come
+    from a groupBy(dim_idx) aggregate (n_dims rows, map-side partials)
+    broadcast-joined back — NOT a Window over dim_idx, which would sort
+    n_vectors rows per dimension on <= n_dims reducers."""
     emb = load(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return emb.select(
+    base = emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(S.l2_norm(v), 6).alias("l2_norm"),
+        S.l2_norm(v).alias("n"),
         F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6).alias(
             "mean_val"
         ),
+        v.alias("v"),
+    )
+    vals = base.select("vec_id", "n", F.posexplode("v").alias("dim_idx", "raw"))
+    moments = vals.groupBy("dim_idx").agg(
+        F.mean("raw").alias("mu"), F.stddev_samp("raw").alias("sd")
+    )
+    norm_sums = (
+        vals.join(F.broadcast(moments), "dim_idx")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("raw") / F.col("n"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("l2_val_sum"),
+            F.sum(
+                F.round((F.col("raw") - F.col("mu")) / F.col("sd"), 6).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("z_val_sum"),
+        )
+    )
+    return base.join(norm_sums, "vec_id").select(
+        "vec_id",
+        "dim",
+        F.round("n", 6).alias("l2_norm"),
+        "mean_val",
+        "l2_val_sum",
+        "z_val_sum",
     )
 
 
 SQL_EMBEDDING_STATS = """
-SELECT vec_id, len(embedding) AS dim,
-       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
-       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val
-FROM embeddings
-"""
-
-
-def q_embedding_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 + P2 in ONE lane slot (consolidates round-6's
-    embedding_l2_normalized + embedding_zscore; the driver caps
-    correctness rows at 50/round, so single-kernel preprocessing queries
-    share a row — operator coverage is unchanged, both kernels are
-    value-checked here): per (vec_id, dim_idx), the unit-sphere
-    projection (reference nlsh/data.py:9-10,35-37) AND the per-dimension
-    corpus z-score with sample stddev (nlsh/data.py:29-33).
-
-    Scale shape: the z-score moments come from a groupBy(dim_idx)
-    aggregate (n_dims rows, map-side partials) broadcast-joined back —
-    NOT a Window over dim_idx, which would sort n_vectors rows per
-    dimension on <= n_dims reducers (the same skew class the samplers
-    were de-skewed from in round 6).
-
-    Known residual: mean/stddev over doubles are summation-order-
-    dependent in the last ulp on both engines; a pair of ulps landing
-    exactly on a round(...,6) half-boundary would flip one digit
-    (~1e-5/round odds across 32k values — tolerated rather than
-    rewriting Welford as exact decimal identically on two engines)."""
-    emb = load(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vals = emb.select(
-        "vec_id",
-        S.l2_norm(v).alias("n"),
-        F.posexplode(v).alias("dim_idx", "raw"),
-    )
-    moments = vals.groupBy("dim_idx").agg(
-        F.mean("raw").alias("mu"), F.stddev_samp("raw").alias("sd")
-    )
-    return vals.join(F.broadcast(moments), "dim_idx").select(
-        "vec_id",
-        "dim_idx",
-        F.round(F.col("raw") / F.col("n"), 6).alias("l2_val"),
-        F.round((F.col("raw") - F.col("mu")) / F.col("sd"), 6).alias("z_val"),
-    )
-
-
-SQL_EMBEDDING_NORMALIZED = """
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  SELECT vec_id, embedding::DOUBLE[] AS vv, len(embedding) AS dim,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+         round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val
   FROM embeddings
 ), vals AS (
-  SELECT vec_id, t.i - 1 AS dim_idx, v[t.i] AS raw, n
+  SELECT vec_id, n, t.i - 1 AS dim_idx, vv[t.i] AS raw
   FROM e CROSS JOIN (SELECT generate_series AS i FROM generate_series(1, 64)) t
-  WHERE t.i <= len(v)
+  WHERE t.i <= len(vv)
 ), m AS (
   SELECT dim_idx, avg(raw) AS mu, stddev_samp(raw) AS sd
   FROM vals GROUP BY dim_idx
+), s AS (
+  SELECT vec_id,
+         CAST(sum(CAST(round(raw / n, 6) AS DECIMAL(18,6))) AS DOUBLE) AS l2_val_sum,
+         CAST(sum(CAST(round((raw - mu) / sd, 6) AS DECIMAL(18,6))) AS DOUBLE) AS z_val_sum
+  FROM vals JOIN m USING (dim_idx) GROUP BY vec_id
 )
-SELECT vec_id, vals.dim_idx, round(raw / n, 6) AS l2_val,
-       round((raw - mu) / sd, 6) AS z_val
-FROM vals JOIN m ON vals.dim_idx = m.dim_idx
+SELECT e.vec_id, e.dim, round(e.n, 6) AS l2_norm, e.mean_val,
+       s.l2_val_sum, s.z_val_sum
+FROM e JOIN s ON e.vec_id = s.vec_id
 """
 
 
@@ -2696,9 +2828,9 @@ def q_user_sessions_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_end").alias("end_ts"),
             "sum_value",
         )
-        # materialize before the tmp input/checkpoint are deleted
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # executor-side materialization before the tmp input/checkpoint
+        # are deleted (and before the memory-sink view is dropped)
+        return _lane_result(out)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -2815,6 +2947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_stats": q_recrawl_stats,
     "crawl_host_stats": q_crawl_host_stats,
     "warc_pages": q_warc_pages,
+    "wet_pages": q_wet_pages,
     "pii_scrub": q_pii_scrub,
     "boilerplate_shingles": q_boilerplate_shingles,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -2839,7 +2972,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_at_k": q_ann_recall_at_k,
     "embedding_stats": q_embedding_stats,
     "label_centroids": q_label_centroids,
-    "embedding_normalized": q_embedding_normalized,
     "pricing_summary": q_pricing_summary,
     "revenue_rollup": q_revenue_rollup,
     "event_type_top_hours": q_event_type_top_hours,
@@ -2854,6 +2986,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Round 8 (to admit warc_pages + minhash_dedup_clusters_incremental):
 #   token_stats  -> doc_profile (n_tokens/bpe_tokens columns)
 #   lang_summary -> lang_token_quartiles (n_docs/avg_tokens/max_tokens)
+# Round 9 (to admit wet_pages, the mixed-archive WET roundtrip):
+#   embedding_normalized -> embedding_stats (l2_val_sum/z_val_sum columns)
 # Operator coverage is unchanged: each merged query value-checks the same
 # kernels/idioms under one row (see each docstring for the mapping).
 assert len(QUERIES) <= 50, f"driver caps correctness rows at 50, got {len(QUERIES)}"
@@ -2894,7 +3028,6 @@ ORACLES: dict[str, str] = {
     "ann_recall_at_k": SQL_ANN_RECALL_AT_K,
     "embedding_stats": SQL_EMBEDDING_STATS,
     "label_centroids": SQL_LABEL_CENTROIDS,
-    "embedding_normalized": SQL_EMBEDDING_NORMALIZED,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "event_type_top_hours": SQL_EVENT_TYPE_TOP_HOURS,
@@ -2924,6 +3057,7 @@ def get_oracles() -> dict[str, str]:
         ("recrawl_stats", _sql_recrawl_stats),
         ("crawl_host_stats", _sql_crawl_host_stats),
         ("warc_pages", _sql_warc_pages),
+        ("wet_pages", _sql_wet_pages),
         ("pii_scrub", _sql_pii_scrub),
     ]:
         try:

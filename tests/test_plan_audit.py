@@ -61,8 +61,10 @@ PLAN_BOUNDS = {
     # shingle-count agg + join-back (reuses the agg partitioning) +
     # per-doc aggregation
     "boilerplate_shingles": 3,
-    # z-score stats broadcast back over the scan + final projection agg
-    "embedding_normalized": 1,
+    # z-score moments broadcast back over the exploded scan + the
+    # per-vec_id norm-sum agg + the join back onto the base projection
+    # (r9: the folded embedding_normalized check adds the vec_id agg)
+    "embedding_stats": 3,
     # dims broadcast (customer/nation/region + reused builds), the
     # exchanges are lineitem->orders co-partitioning + the rollup aggs
     "revenue_rollup": 4,

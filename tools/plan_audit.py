@@ -44,8 +44,8 @@ AUDITED = [
     "pii_scrub",
     "boilerplate_shingles",
     "bpe_token_stats",
-    # round-7 consolidated registry entries (see queries.py registry note)
-    "embedding_normalized",
+    # round-7/9 consolidated registry entries (see queries.py registry note)
+    "embedding_stats",
     "revenue_rollup",
     "event_type_top_hours",
 ]

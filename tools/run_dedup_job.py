@@ -130,6 +130,18 @@ def main() -> None:
     )
     ap.add_argument("--with-longrepeat", action="store_true")
     ap.add_argument(
+        "--long-repeat-exact", type=int, default=None, metavar="MIN_RUN",
+        help="exact long-repeat verifier tier (SURVEY §7 stage 3): winnowed "
+        "fingerprint candidates -> positional-gram diagonal exact verify "
+        "(operators/suffix.py::long_repeat_pairs_exact); pairs sharing a "
+        "verbatim run of >= MIN_RUN tokens feed the same union-find as the "
+        "MinHash pairs — catches the MinHash-invisible case (one long "
+        "verbatim block inside otherwise-unrelated docs, i.e. low global "
+        "Jaccard). MIN_RUN must be >= the winnowing guarantee bound "
+        "(long_repeat_min_tokens + 16 - 1 = 79 at defaults) so the tier "
+        "merges a COMPLETE pair set, not a sampled one",
+    )
+    ap.add_argument(
         "--verify-screen", dest="verify_screen", action="store_true", default=False,
         help="two-tier verify (MinHash-prefix screen, exact Jaccard only in "
         "the uncertainty band); deterministic across parallelism, ~1e-3 "
@@ -190,7 +202,9 @@ def main() -> None:
         ap.error("--survivors-wet-out needs --from-warc or --from-wet "
                  "(only the archive input paths carry the url/warc_ts/"
                  "text page columns the WET writer re-ships)")
-    if args.checkpoint_dir and (args.with_simhash or args.with_longrepeat):
+    if args.checkpoint_dir and (
+        args.with_simhash or args.with_longrepeat or args.long_repeat_exact
+    ):
         # validate BEFORE the JVM starts and the input is scanned
         ap.error("--checkpoint-dir covers the exact-Jaccard pipeline; "
                  "run the secondary verifiers in the straight-line mode")
@@ -210,7 +224,10 @@ def main() -> None:
         banded_signatures_fused,
         explode_fused_bands,
     )
-    from neural_locality_sensitive_hashing_spark.operators.suffix import long_repeat_pairs
+    from neural_locality_sensitive_hashing_spark.operators.suffix import (
+        long_repeat_pairs,
+        long_repeat_pairs_exact,
+    )
     from neural_locality_sensitive_hashing_spark.operators.verify import (
         jaccard_verify,
         jaccard_verify_screened,
@@ -234,6 +251,13 @@ def main() -> None:
     cfg = DedupConfig(
         verify_screen=args.verify_screen, shingle_hash_bytes=args.shingle_bytes
     )
+    lre_bound = cfg.long_repeat_min_tokens + 16 - 1
+    if args.long_repeat_exact is not None and args.long_repeat_exact < lre_bound:
+        raise SystemExit(
+            f"--long-repeat-exact {args.long_repeat_exact} is below the "
+            f"winnowing guarantee bound {lre_bound}: pairs under the bound "
+            "are best-effort, so merging on them would be nondeterministic"
+        )
 
     if args.from_warc or args.from_wet:
         from neural_locality_sensitive_hashing_spark.sources.warc import (
@@ -375,6 +399,20 @@ def main() -> None:
 
         lr = long_repeat_pairs(pages, cfg).select("a", "b", F.lit(1.0).alias("jaccard"))
         dups = dups.unionByName(lr).dropDuplicates(["a", "b"])
+    n_lre = -1
+    if args.long_repeat_exact is not None:
+        from pyspark.sql import functions as F
+
+        lre = (
+            long_repeat_pairs_exact(pages, cfg)
+            .where(F.col("max_run") >= F.lit(args.long_repeat_exact))
+            .persist()
+        )
+        if not args.fast:
+            n_lre = lre.count()
+        dups = dups.unionByName(
+            lre.select("a", "b", F.lit(1.0).alias("jaccard"))
+        ).dropDuplicates(["a", "b"])
     dups = dups.persist()
     n_dups = -1
     if not args.fast:
@@ -398,6 +436,11 @@ def main() -> None:
         "dup_pairs": n_dups,
         "clusters": n_clusters,
     }
+    if args.long_repeat_exact is not None:
+        report["long_repeat_exact"] = {
+            "min_run": args.long_repeat_exact,
+            "pairs": n_lre,
+        }
     if args.keep_list_out:
         from pyspark.sql import functions as F
 
