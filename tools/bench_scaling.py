@@ -11,6 +11,15 @@ recorded pair; median AND min reported (min = least-interfered run on this
 noisy shared VM, median = the typical run); multiple (N, 4N) pairs in one
 invocation. Writes BENCH/BASELINE.md.
 
+Round-9 hardening: trials are INTERLEAVED — each trial index runs BOTH
+levels back-to-back (lo,hi / hi,lo / lo,hi ... alternating order), instead
+of each level as a contiguous block, so every lo wall has a hi neighbour
+from the same host-noise window and the per-trial paired efficiencies
+(lo_wall / (factor * hi_wall)) cancel the ±40-70%% between-window swings
+this shared VM shows. The pooled min/median statistics are unchanged in
+meaning (same walls, same counts); `paired_effs` is the new
+window-cancelling statistic.
+
 Env knobs:
   BENCH_SCALING_MODE       executors (default) | threads
   BENCH_SCALING_TRIALS     trials per level (default 3, same both sides)
@@ -45,72 +54,77 @@ def _master(workers: int, cores: int) -> str:
     return f"local[{workers * cores}]"
 
 
-def run_level(workers: int, cores: int, pages: str, zip_path: str, extra: list[str]) -> dict:
-    """TRIALS runs of the identical job; returns all walls + min/median
-    reps. This sandbox is a shared VM with bursty noisy-neighbor CPU steal
-    (observed 4x swings between identical runs): the minimum is the
-    least-interfered measurement, the median the typical one — both are
-    reported, from the SAME trial count on every side."""
+def run_trial(
+    workers: int, cores: int, pages: str, zip_path: str, extra: list[str],
+    t: int, capture_eventlog: bool,
+) -> tuple[dict, dict | None]:
+    """ONE spark-submit of the identical job at (workers x cores); returns
+    (job report, optional shuffle-byte capture). This sandbox is a shared
+    VM with bursty noisy-neighbor CPU steal (observed 4x swings between
+    identical runs), which is why callers interleave these across levels."""
     from neural_locality_sensitive_hashing_spark.session import _tmpfs_scratch
 
     os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
     scratch = _tmpfs_scratch() or "/tmp"
     master = _master(workers, cores)
     total_cores = workers * cores
-    reps = []
-    bytes_rep = None
-    for t in range(TRIALS):
-        out_json = f"/tmp/nlsh_scale_{MODE}_{workers}x{cores}_{t}.json"
-        cmd = [
-            "spark-submit",
-            "--master", master,
-            "--driver-memory", "8g",
-            "--conf", f"spark.local.dir={scratch}",
-        ]
-        evdir = None
-        if EVENTLOG and t == 0:
-            evdir = f"/tmp/nlsh_evlog_{workers}x{cores}"
-            subprocess.run(["rm", "-rf", evdir], check=False)
-            os.makedirs(evdir, exist_ok=True)
-            cmd += [
-                "--conf", "spark.eventLog.enabled=true",
-                "--conf", f"spark.eventLog.dir={evdir}",
-                "--conf", "spark.eventLog.compress=false",
-            ]
+    out_json = f"/tmp/nlsh_scale_{MODE}_{workers}x{cores}_{t}.json"
+    cmd = [
+        "spark-submit",
+        "--master", master,
+        "--driver-memory", "8g",
+        "--conf", f"spark.local.dir={scratch}",
+    ]
+    evdir = None
+    if capture_eventlog:
+        evdir = f"/tmp/nlsh_evlog_{workers}x{cores}"
+        subprocess.run(["rm", "-rf", evdir], check=False)
+        os.makedirs(evdir, exist_ok=True)
         cmd += [
-            "--py-files", zip_path,
-            os.path.join(REPO, "tools", "run_dedup_job.py"),
-            "--pages", pages,
-            "--shuffle-partitions", str(4 * total_cores),
-            "--json-out", out_json,
-            *extra,
+            "--conf", "spark.eventLog.enabled=true",
+            "--conf", f"spark.eventLog.dir={evdir}",
+            "--conf", "spark.eventLog.compress=false",
         ]
-        print(f"# running {master} trial {t} ...", file=sys.stderr)
-        t0 = time.time()
-        subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        with open(out_json) as f:
-            rep = json.load(f)
-        rep["submit_wall_sec"] = round(time.time() - t0, 1)
-        reps.append(rep)
-        if evdir:
-            try:
-                from tools.shuffle_bytes import _event_files, sum_events
+    cmd += [
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "run_dedup_job.py"),
+        "--pages", pages,
+        "--shuffle-partitions", str(4 * total_cores),
+        "--json-out", out_json,
+        *extra,
+    ]
+    print(f"# running {master} trial {t} ...", file=sys.stderr)
+    t0 = time.time()
+    subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out_json) as f:
+        rep = json.load(f)
+    rep["submit_wall_sec"] = round(time.time() - t0, 1)
+    bytes_rep = None
+    if evdir:
+        try:
+            from tools.shuffle_bytes import _event_files, sum_events
 
-                tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0}
-                for p in _event_files(evdir):
-                    s = sum_events(p)
-                    for k in tot:
-                        tot[k] += s[k]
-                bytes_rep = {k: round(v / 1e9, 3) for k, v in tot.items()}
-            except Exception as e:  # noqa: BLE001 — evidence, not gating
-                print(f"# event-log parse failed: {e}", file=sys.stderr)
+            tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0}
+            for p in _event_files(evdir):
+                s = sum_events(p)
+                for k in tot:
+                    tot[k] += s[k]
+            bytes_rep = {k: round(v / 1e9, 3) for k, v in tot.items()}
+        except Exception as e:  # noqa: BLE001 — evidence, not gating
+            print(f"# event-log parse failed: {e}", file=sys.stderr)
+    return rep, bytes_rep
+
+
+def summarize_level(
+    workers: int, cores: int, reps: list[dict], bytes_rep: dict | None
+) -> dict:
     walls = sorted(r["wall_sec"] for r in reps)
     best = min(reps, key=lambda r: r["wall_sec"])
     docs = best["docs"]
     med_wall = statistics.median(walls)
     return {
-        "master": master,
-        "total_cores": total_cores,
+        "master": _master(workers, cores),
+        "total_cores": workers * cores,
         "walls": walls,
         "min_wall": walls[0],
         "median_wall": med_wall,
@@ -148,8 +162,42 @@ def main() -> None:
         lo_w, lo_c = (int(x) for x in lo_s.split("x"))
         hi_w, hi_c = (int(x) for x in hi_s.split("x"))
         assert hi_w * hi_c == 4 * lo_w * lo_c, f"need 4x the cores: {pair}"
-        lo = run_level(lo_w, lo_c, pages, zip_path, extra)
-        hi = run_level(hi_w, hi_c, pages, zip_path, extra)
+        # interleave: trial t runs BOTH levels back-to-back, order
+        # alternating (lo,hi / hi,lo / ...) so neither level
+        # systematically lands later in a drifting window; paired_effs
+        # is the per-window efficiency, immune to between-window swings
+        lo_reps: list[dict] = []
+        hi_reps: list[dict] = []
+        lo_bytes = hi_bytes = None
+        paired_effs: list[float] = []
+        for t in range(TRIALS):
+            sides = [("lo", lo_w, lo_c), ("hi", hi_w, hi_c)]
+            if t % 2 == 1:
+                sides.reverse()
+            for side, w, c in sides:
+                rep, brep = run_trial(
+                    w, c, pages, zip_path, extra, t,
+                    capture_eventlog=EVENTLOG and t == 0,
+                )
+                if side == "lo":
+                    lo_reps.append(rep)
+                    lo_bytes = brep or lo_bytes
+                else:
+                    hi_reps.append(rep)
+                    hi_bytes = brep or hi_bytes
+            eff_t = round(
+                lo_reps[-1]["wall_sec"] / (4.0 * hi_reps[-1]["wall_sec"]), 3
+            )
+            paired_effs.append(eff_t)
+            print(
+                f"# pair {pair} trial {t}: lo {lo_reps[-1]['wall_sec']}s, "
+                f"hi {hi_reps[-1]['wall_sec']}s, paired eff {eff_t}",
+                file=sys.stderr,
+            )
+        lo = summarize_level(lo_w, lo_c, lo_reps, lo_bytes)
+        hi = summarize_level(hi_w, hi_c, hi_reps, hi_bytes)
+        clusters = {r["clusters"] for r in lo_reps + hi_reps}
+        assert len(clusters) == 1, f"cluster invariant broken: {clusters}"
         results.append(
             {
                 "pair": pair,
@@ -157,6 +205,8 @@ def main() -> None:
                 "hi": hi,
                 "eff_min": round(hi["min_dps"] / (4.0 * lo["min_dps"]), 3),
                 "eff_median": round(hi["median_dps"] / (4.0 * lo["median_dps"]), 3),
+                "paired_effs": paired_effs,
+                "eff_paired_median": round(statistics.median(paired_effs), 3),
             }
         )
         print(json.dumps(results[-1]), file=sys.stderr)
@@ -165,6 +215,7 @@ def main() -> None:
         "mode": MODE,
         "docs": n_docs,
         "trials_per_level": TRIALS,
+        "interleaved": True,
         "job_args": extra,
         "pairs": results,
     }

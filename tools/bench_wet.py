@@ -6,6 +6,14 @@ class as the WARC benches: Zipf-ish token pages), with the record count
 asserted against construction truth every trial. Conditions labeled;
 3 trials, median + min, per BENCH/BASELINE.md discipline.
 
+Set BENCH_WET_STREAM=1 to also bench the continuous-ingestion flavour
+(read_wet_stream -> foreachBatch upsert into the latest-crawl store,
+fresh store per trial, full Trigger.AvailableNow drain timed, final
+store row count asserted) — the N33 stream's throughput counterpart to
+warc_stream_raw.json; BENCH_WET_STREAM_FPT sets maxFilesPerTrigger
+(default 1, one archive per micro-batch) and BENCH_WET_OUT overrides
+the output file name.
+
     python tools/bench_wet.py [n_records] [n_archives]
 """
 
@@ -78,27 +86,64 @@ def main() -> None:
 
     spark = spark_session("bench_wet", master=master, shuffle_partitions=None)
     spark.sparkContext.setLogLevel("ERROR")
-    walls = []
-    for t in range(trials):
-        t0 = time.monotonic()
-        n = read_wet(spark, corpus_dir).count()
-        walls.append(round(time.monotonic() - t0, 2))
-        assert n == n_records, f"parse lost rows: {n} != {n_records}"
-        print(f"# trial {t}: {walls[-1]}s, {n} records", file=sys.stderr)
 
-    med = statistics.median(walls)
+    stages = {"parse": lambda: read_wet(spark, corpus_dir).count()}
+    if os.environ.get("BENCH_WET_STREAM") == "1":
+        import tempfile
+
+        from neural_locality_sensitive_hashing_spark.streaming.recrawl_stream import (
+            run_incremental_recrawl_wet,
+        )
+
+        def stream_ingest() -> int:
+            # fresh store per trial: the full drain is the unit under test
+            with tempfile.TemporaryDirectory(prefix="wet_stream_state_") as state:
+                sink = run_incremental_recrawl_wet(
+                    spark,
+                    corpus_dir,
+                    state,
+                    max_files_per_trigger=int(
+                        os.environ.get("BENCH_WET_STREAM_FPT", "1")
+                    ),
+                )
+                return sink.latest_crawls().count()
+
+        stages["stream_ingest"] = stream_ingest
+
     out = {
         "n_records": n_records,
         "n_archives": n_archives,
         "archive_mb": round(arc_mb, 1),
         "master": master,
         "trials": trials,
-        "walls": walls,
-        "median_wall": med,
-        "median_rec_per_s": round(n_records / med, 1),
-        "min_rec_per_s": round(n_records / min(walls), 1),
+        "stages": {},
     }
-    with open(os.path.join(REPO, "BENCH", "wet_raw.json"), "w") as f:
+    for name, fn in stages.items():
+        walls, counts = [], set()
+        for t in range(trials):
+            t0 = time.monotonic()
+            counts.add(fn())
+            walls.append(round(time.monotonic() - t0, 2))
+            print(f"# {name} trial {t}: {walls[-1]}s", file=sys.stderr)
+        assert len(counts) == 1, f"{name}: nondeterministic count {counts}"
+        n = counts.pop()
+        # construction truth: every URL is unique, so BOTH the parse and
+        # the drained latest-crawl store must hold exactly n_records rows
+        assert n == n_records, f"{name} lost rows: {n} != {n_records}"
+        med = statistics.median(walls)
+        out["stages"][name] = {
+            "rows": n,
+            "walls": walls,
+            "median_wall": med,
+            "median_rec_per_s": round(n_records / med, 1),
+            "min_rec_per_s": round(n_records / min(walls), 1),
+        }
+    # back-compat top-level figures = the parse stage (the r8 series)
+    out.update(
+        {k: v for k, v in out["stages"]["parse"].items() if k != "rows"}
+    )
+    out_name = os.environ.get("BENCH_WET_OUT", "wet_raw.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -33,6 +33,7 @@ def _pool_pair(
     re-asserted per level per session."""
     lo_walls: list[float] = []
     hi_walls: list[float] = []
+    paired_effs: list[float] = []
     docs = None
     clusters = None
     pair_label = None
@@ -47,6 +48,9 @@ def _pool_pair(
         assert len(lo["walls"]) == len(hi["walls"]), f"{p}: unequal trial counts"
         lo_walls += lo["walls"]
         hi_walls += hi["walls"]
+        # round-9 interleaved sessions carry per-window paired
+        # efficiencies; pool them too (all sessions or none)
+        paired_effs += pair.get("paired_effs", [])
         if docs is None:
             docs, clusters = lo["docs"], lo["clusters"]
         # determinism invariant: identical answer at every level, every session
@@ -76,6 +80,10 @@ def _pool_pair(
             dps(statistics.median(hi_walls))
             / (factor * dps(statistics.median(lo_walls))),
             3,
+        ),
+        "paired_effs": sorted(paired_effs),
+        "eff_paired_median": (
+            round(statistics.median(paired_effs), 3) if paired_effs else None
         ),
         "clusters": clusters,
     }
