@@ -60,16 +60,27 @@ def connected_components(
     label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
     prev_sum = labels.agg(label_sum).first()[0]
     converged = False
-    for _ in range(max_iterations):
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
         msgs = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
+            lbl.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        labels = (
-            labels.unionByName(msgs)
+        return (
+            lbl.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
         )
+
+    # r10: TWO propagation steps per driver round. The fixpoint loop's
+    # cost floor is its serial per-round barriers (checkpoint job +
+    # convergence agg job — each a full driver sync); chaining two
+    # label-propagation steps between barriers halves the barrier count
+    # at unchanged per-step shuffle work, and the min-label fixpoint is
+    # step-count-invariant (monotone, idempotent at convergence), so the
+    # returned labels are identical. Iteration budget semantics are
+    # preserved: max_iterations still bounds the number of SINGLE steps.
+    for _ in range((max_iterations + 1) // 2):
+        labels = _propagate(_propagate(labels)).localCheckpoint()
         cur_sum = labels.agg(label_sum).first()[0]
         if cur_sum == prev_sum:
             converged = True

@@ -85,6 +85,69 @@ def _cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _list_col_matrix(col) -> np.ndarray:
+    """pyarrow list<float/double> column (no nulls, uniform length) ->
+    (n, d) float64 matrix with ZERO per-row Python: one buffer view +
+    reshape. The Arrow list layout is a contiguous values buffer plus an
+    offsets array (guide §4.2), so a fixed-dim embedding column converts
+    without materializing n row objects."""
+    import pyarrow as pa  # local import: executors only
+
+    if pa.types.is_fixed_size_list(col.type):
+        n = len(col)
+        d = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(n, d).astype(np.float64, copy=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if len(widths) == 0 or not (widths == widths[0]).all():
+        # ragged fallback (never hit for a real embedding table)
+        return np.stack(
+            [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+        )
+    flat = col.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+    return flat.reshape(len(widths), int(widths[0])).astype(np.float64, copy=False)
+
+
+def _pair_cosine_arrow(it):
+    """mapInArrow kernel: (a, b, va, vb) batches -> (a, b, cosine_raw).
+    Same float64 arithmetic as _cosine_udf (row-wise multiply-sum /
+    product of norms), so the downstream round(...,6) sees bit-identical
+    doubles; the matrix build is offset-arithmetic instead of a per-row
+    stack loop."""
+    import pyarrow as pa  # local import: executors only
+
+    for batch in it:
+        va = batch.column("va")
+        vb = batch.column("vb")
+        if va.null_count or vb.null_count:
+            # null vectors: NaN cosine (dropped by any threshold filter),
+            # mirroring _cosine_udf's ok-mask — not hit by the dup-pairs
+            # path (embeddings tables are dense)
+            cos = np.full(len(va), np.nan)
+            ok = [
+                i
+                for i in range(len(va))
+                if va[i].is_valid and vb[i].is_valid
+            ]
+            if ok:
+                a = np.stack([np.asarray(va[i].as_py(), dtype=np.float64) for i in ok])
+                b = np.stack([np.asarray(vb[i].as_py(), dtype=np.float64) for i in ok])
+                num = (a * b).sum(axis=1)
+                den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                cos[ok] = num / np.maximum(den, 1e-300)
+        else:
+            a = _list_col_matrix(va)
+            b = _list_col_matrix(vb)
+            num = (a * b).sum(axis=1)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            cos = num / np.maximum(den, 1e-300)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("a"), batch.column("b"), pa.array(cos, type=pa.float64())],
+            names=["a", "b", "cosine_raw"],
+        )
+
+
 def _rank_topk(sim: DataFrame, k: int, order: Column) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
     return sim.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
@@ -570,12 +633,20 @@ def embedding_dup_pairs_lsh(
     cand = lsh_bucket_self_join(ec)
     va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .select("a", "b", F.round(_cosine_udf(F.col("va"), F.col("vb")), 6).alias("cosine"))
-        .where(F.col("cosine") >= tau)
+    # exact verify as ONE mapInArrow pass over (a, b, va, vb): the
+    # previous expression form — select(round(_cosine_udf(...))).where —
+    # planned the pandas UDF TWICE (once under the pushed threshold
+    # filter, once in the output projection; guide §4.4), and its kernel
+    # stacked the pair matrices with a per-row Python loop. The Arrow
+    # kernel computes identical float64 values (same multiply-sum/norm
+    # ordering), rounding and thresholding stay native above it.
+    paired = cand.join(va, "a").join(vb, "b").select("a", "b", "va", "vb")
+    scored = paired.mapInArrow(
+        _pair_cosine_arrow, "a long, b long, cosine_raw double"
     )
+    return scored.select(
+        "a", "b", F.round(F.col("cosine_raw"), 6).alias("cosine")
+    ).where(F.col("cosine") >= tau)
 
 
 def embedding_dup_pairs_broadcast(

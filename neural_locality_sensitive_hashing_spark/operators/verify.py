@@ -34,9 +34,24 @@ def make_jaccard_udf(shingle_hash_bytes: int = 8):
     that allocation rate stalls the shared heap (measured 9.5s at
     local[8] -> 37.5s at local[32] for the same verify stage; the Arrow
     kernel removes the regression). Binary inputs decode at the configured
-    element width (8 = int64 LE, 4 = uint32 LE); array<long> inputs (the
-    non-fused path) are handled as-is."""
-    dt = "<i8" if shingle_hash_bytes == 8 else "<u4"
+    element width — as the UNSIGNED view (8 = uint64 LE, 4 = uint32 LE),
+    under which the fused kernel's np.unique output is sorted ascending,
+    so the per-pair intersection is a searchsorted probe of the smaller
+    set into the larger (O(m log n), no per-pair sort — np.intersect1d
+    re-sorts the concatenation per pair, ~2.5x more kernel CPU on the
+    bench corpus). Set SIZES are representation-independent, so the
+    jaccard value is bit-identical to the int64-view implementation.
+    array<long> inputs (the non-fused path) are not sorted and keep the
+    intersect1d path.
+
+    Returned marked non-deterministic: every caller filters on the UDF's
+    output column, and a deterministic python UDF under a pushed filter
+    is evaluated TWICE by the optimizer (once below the filter, once in
+    the output projection — guide §4.4's duplicated-BatchEvalPython
+    shape, confirmed in plans/r10/minhash_dedup_pairs_before.txt). The
+    kernel is a pure function; the marking only pins a single evaluation.
+    """
+    dt = "<u8" if shingle_hash_bytes == 8 else "<u4"
 
     @pandas_udf(DoubleType())
     def jaccard(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -46,14 +61,24 @@ def make_jaccard_udf(shingle_hash_bytes: int = 8):
             b = sb.iloc[i]
             if a is None or b is None:
                 continue
-            a = np.frombuffer(a, dtype=dt) if isinstance(a, (bytes, bytearray)) else np.asarray(a, dtype=np.int64)
-            b = np.frombuffer(b, dtype=dt) if isinstance(b, (bytes, bytearray)) else np.asarray(b, dtype=np.int64)
-            inter = np.intersect1d(a, b, assume_unique=True).size
+            if isinstance(a, (bytes, bytearray)) and isinstance(b, (bytes, bytearray)):
+                a = np.frombuffer(a, dtype=dt)
+                b = np.frombuffer(b, dtype=dt)
+                if a.size > b.size:
+                    a, b = b, a
+                # both sorted ascending: probe the smaller into the larger
+                idx = np.searchsorted(b, a)
+                valid = idx < b.size
+                inter = int(np.count_nonzero(b[idx[valid]] == a[valid]))
+            else:
+                a = np.frombuffer(a, dtype=dt) if isinstance(a, (bytes, bytearray)) else np.asarray(a, dtype=np.int64)
+                b = np.frombuffer(b, dtype=dt) if isinstance(b, (bytes, bytearray)) else np.asarray(b, dtype=np.int64)
+                inter = np.intersect1d(a, b, assume_unique=True).size
             union = a.size + b.size - inter
             out[i] = inter / union if union else 0.0
         return pd.Series(out)
 
-    return jaccard
+    return jaccard.asNondeterministic()
 
 
 _jaccard_udf = make_jaccard_udf(8)
@@ -73,6 +98,11 @@ def _sig_matches_udf(pa_: pd.Series, pb_: pd.Series) -> pd.Series:
             (np.frombuffer(a, dtype="<u4") == np.frombuffer(b, dtype="<u4")).sum()
         )
     return pd.Series(out)
+
+
+# screened verify filters twice on the matches column (reject + accept
+# tiers) — the same §4.4 duplicated-eval hazard as the jaccard kernel
+_sig_matches_udf = _sig_matches_udf.asNondeterministic()
 
 
 def screen_counts(cfg: DedupConfig) -> tuple[int, int]:

@@ -276,18 +276,20 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _spark_shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("sh").alias("g"))
     # shingle_set is per-doc DISTINCT, so ex is unique per (doc_id, g) and
-    # count(*) == countDistinct(doc_id) — without the distinct-agg expand
-    # (the oracle spells count(DISTINCT doc_id); same values)
-    gd = ex.groupBy("g").agg(F.count("*").alias("nd"))
-    return (
-        ex.join(gd, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.round(
-                F.avg((F.col("nd") > 1).cast("double")), 6
-            ).alias("shared_frac"),
-        )
+    # count(*) over the g partition == countDistinct(doc_id) — without
+    # the distinct-agg expand (the oracle spells count(DISTINCT doc_id);
+    # same values). r10: the aggregate-then-join-back shape (groupBy(g)
+    # -> join on g) is replaced by ONE count window over g — the join
+    # needed a second exchange + per-partition hash build of the
+    # same-size gd table, and measured 2x the wall (3.25s -> 1.63s noop
+    # at sf0.1). g is a high-cardinality hash key, so the window
+    # partition is skew-safe exactly where the groupBy was.
+    ex2 = ex.select(
+        "doc_id", F.count("*").over(Window.partitionBy("g")).alias("nd")
+    )
+    return ex2.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.round(F.avg((F.col("nd") > 1).cast("double")), 6).alias("shared_frac"),
     )
 
 
@@ -980,10 +982,23 @@ def q_long_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowed candidate pre-filtering for the 100 TB path."""
     docs = load(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
-    gp = docs.select(
-        "doc_id",
-        F.posexplode(T.shingles(toks, LONG_REPEAT_GRAM)).alias("i", "g"),
-    ).where(F.size(T.tokens(F.col("g"))) >= F.lit(LONG_REPEAT_GRAM))
+    # r10: the per-gram re-tokenization filter (size(tokens(g)) >= 12 on
+    # every exploded gram row) is hoisted to ONE doc-level size check —
+    # equivalent by construction: a doc with >= 12 tokens only emits
+    # exact-12-token grams, a shorter doc only its (<12-token) whole-text
+    # gram. The join/count key is xxhash64 of the gram string (8 B)
+    # instead of the ~90 B gram text — the self-join and both
+    # aggregations shuffle ~10x fewer key bytes; candidate/count
+    # semantics unchanged up to the engine-wide accepted xxhash64
+    # collision class (shingle_set, functions/text.py).
+    gp = (
+        docs.where(F.size(toks) >= F.lit(LONG_REPEAT_GRAM))
+        .select(
+            "doc_id",
+            F.posexplode(T.shingles(toks, LONG_REPEAT_GRAM)).alias("i", "g"),
+        )
+        .select("doc_id", "i", F.xxhash64("g").alias("g"))
+    )
     # persisted: the positional-gram self-join (the heaviest stage) feeds
     # BOTH the diagonal-run aggregation and the n_shared aggregation —
     # unpersisted it would execute twice (same cache lifecycle contract
