@@ -111,6 +111,67 @@ def shingle_hashes_python(text: str, k: int, cache: dict) -> np.ndarray:
     return np.unique(acc)
 
 
+def gram_hashes_python(text: str, k: int, cache: dict) -> np.ndarray:
+    """tokens -> POSITIONAL k-gram rolling rot-xor hashes (uint64, one per
+    gram start, order preserved, duplicates kept) — shingle_hashes_python
+    minus the final unique; same token hash (memoized blake2b) and fold,
+    so a doc's distinct set of these IS its shingle_hashes_python set."""
+    toks = text.split() if text else []
+    n = len(toks)
+
+    def th(t: str) -> int:
+        v = cache.get(t)
+        if v is None:
+            import hashlib
+
+            v = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            cache[t] = v
+        return v
+
+    if n == 0:
+        return np.array([np.uint64(th(""))], dtype=np.uint64)
+    if n < k:
+        return np.array([np.uint64(th(" ".join(toks)))], dtype=np.uint64)
+    h = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=n)
+    m = n - k + 1
+    acc = h[:m].copy()
+    for i in range(1, k):
+        acc = _rotl7(acc) ^ h[i : i + m]
+    return acc
+
+
+def make_gram_hash_text_udf(k: int, distinct: bool = True):
+    """Fused Arrow kernel: text -> array<bigint> k-gram hashes, replacing
+    the interpreted native chain (tokens -> zip_with rolling xxhash64
+    fold) for SET-SEMANTIC consumers: the hash family differs (memoized
+    blake2b token hashes + the same rot-xor fold) but every downstream
+    use — candidate equi-joins, intersection/union sizes, distinct
+    counts — depends only on cross-doc gram equality, which both
+    families decide identically up to the engine's accepted 2^-64
+    collision class. ``distinct=True`` returns the sorted unique set
+    (shingle_set semantics), ``distinct=False`` the positional stream
+    (gram-position consumers)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def gram_hashes(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+            elif distinct:
+                out.append(shingle_hashes_python(t, k, cache).view(np.int64))
+            else:
+                out.append(gram_hashes_python(t, k, cache).view(np.int64))
+        return pd.Series(out)
+
+    return gram_hashes
+
+
 def band_hashes_numpy(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
     """(n, num_perm) uint64 signatures -> (n, num_bands) int64 band-bucket
     hashes: rotl7-xor-multiply fold of each band's rows with the band index

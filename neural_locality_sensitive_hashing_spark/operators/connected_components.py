@@ -42,10 +42,19 @@ def connected_components(
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint()
     )
+    # r10: seed labels with min(self, neighbors) straight from one edge
+    # aggregation — identical to one propagation round over identity
+    # labels (edges carry both directions, so min over adjacent src ==
+    # min over neighbors), but costs the same single shuffle the old
+    # `select(src).distinct()` init already paid, with no join. Every
+    # run starts one round further along the (unique) min-label fixpoint.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("mn")).alias("cluster_id"),
+        )
         .localCheckpoint()
     )
 
@@ -71,16 +80,8 @@ def connected_components(
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
 
-    # r10: TWO propagation steps per driver round. The fixpoint loop's
-    # cost floor is its serial per-round barriers (checkpoint job +
-    # convergence agg job — each a full driver sync); chaining two
-    # label-propagation steps between barriers halves the barrier count
-    # at unchanged per-step shuffle work, and the min-label fixpoint is
-    # step-count-invariant (monotone, idempotent at convergence), so the
-    # returned labels are identical. Iteration budget semantics are
-    # preserved: max_iterations still bounds the number of SINGLE steps.
-    for _ in range((max_iterations + 1) // 2):
-        labels = _propagate(_propagate(labels)).localCheckpoint()
+    for _ in range(max_iterations):
+        labels = _propagate(labels).localCheckpoint()
         cur_sum = labels.agg(label_sum).first()[0]
         if cur_sum == prev_sum:
             converged = True

@@ -74,11 +74,13 @@ def _as_double(col: Column) -> Column:
 def _cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
     """Vectorized exact cosine for the pair re-rank (Arrow batch: one
     row-wise multiply-sum over two stacked matrices)."""
-    out = np.full(len(va), np.nan)
-    ok = [i for i in range(len(va)) if va.iloc[i] is not None and vb.iloc[i] is not None]
+    va_np = va.to_numpy()
+    vb_np = vb.to_numpy()
+    out = np.full(len(va_np), np.nan)
+    ok = [i for i in range(len(va_np)) if va_np[i] is not None and vb_np[i] is not None]
     if ok:
-        a = np.stack([np.asarray(va.iloc[i], dtype=np.float64) for i in ok])
-        b = np.stack([np.asarray(vb.iloc[i], dtype=np.float64) for i in ok])
+        a = np.stack([np.asarray(va_np[i], dtype=np.float64) for i in ok])
+        b = np.stack([np.asarray(vb_np[i], dtype=np.float64) for i in ok])
         num = (a * b).sum(axis=1)
         den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
         out[ok] = num / np.maximum(den, 1e-300)
@@ -165,12 +167,18 @@ def knn_bruteforce(
     Self-matches excluded. The query side should be small (it is broadcast);
     ties broken deterministically by neighbor_id.
     """
+    # r10: per-side norms are hoisted OUT of the per-pair expression —
+    # cosine_similarity inline re-derived ‖q‖ and ‖c‖ for every one of
+    # the n_queries×n_corpus pairs (two extra interpreted array
+    # aggregates per pair); computing each norm once per row and
+    # multiplying the scalars in the pair context is the same float64
+    # product, so round(...,6) is bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     sim = (
         F.broadcast(q)
         .crossJoin(c)
@@ -178,7 +186,9 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     return _rank_topk(sim, k, F.desc("cosine"))
@@ -247,10 +257,11 @@ def make_hyperplane_udf(
 
     @pandas_udf(ArrayType(LongType()))
     def codes(vecs: pd.Series) -> pd.Series:
-        out = np.empty(len(vecs), dtype=object)
-        ok = [i for i, v in enumerate(vecs) if v is not None]
+        vecs_np = vecs.to_numpy()
+        out = np.empty(len(vecs_np), dtype=object)
+        ok = [i for i, v in enumerate(vecs_np) if v is not None]
         if ok:
-            m = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
+            m = np.stack([np.asarray(vecs_np[i], dtype=np.float64) for i in ok])
             proj = m @ p  # (n, nbits)
             bits = (proj > 0).astype(np.int64)
             bands = bits.reshape(len(ok), num_bands, bits_per_band)
@@ -435,10 +446,11 @@ def make_e2lsh_udf(
 
     @pandas_udf(ArrayType(LongType()))
     def codes(vecs: pd.Series) -> pd.Series:
-        out = np.empty(len(vecs), dtype=object)
-        ok = [i for i, x in enumerate(vecs) if x is not None]
+        vecs_np = vecs.to_numpy()
+        out = np.empty(len(vecs_np), dtype=object)
+        ok = [i for i, x in enumerate(vecs_np) if x is not None]
         if ok:
-            m = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
+            m = np.stack([np.asarray(vecs_np[i], dtype=np.float64) for i in ok])
             pos = (m @ vt + b) / bucket_width  # (n, bands*r)
             q = np.floor(pos).astype(np.int64)
             n = len(ok)
@@ -478,11 +490,13 @@ def make_e2lsh_udf(
 
 @pandas_udf(DoubleType())
 def _l2_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
-    out = np.full(len(va), np.nan)
-    ok = [i for i in range(len(va)) if va.iloc[i] is not None and vb.iloc[i] is not None]
+    va_np = va.to_numpy()
+    vb_np = vb.to_numpy()
+    out = np.full(len(va_np), np.nan)
+    ok = [i for i in range(len(va_np)) if va_np[i] is not None and vb_np[i] is not None]
     if ok:
-        a = np.stack([np.asarray(va.iloc[i], dtype=np.float64) for i in ok])
-        b = np.stack([np.asarray(vb.iloc[i], dtype=np.float64) for i in ok])
+        a = np.stack([np.asarray(va_np[i], dtype=np.float64) for i in ok])
+        b = np.stack([np.asarray(vb_np[i], dtype=np.float64) for i in ok])
         out[ok] = np.linalg.norm(a - b, axis=1)
     return pd.Series(out)
 

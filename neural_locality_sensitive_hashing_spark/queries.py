@@ -143,9 +143,82 @@ def _sql_h60(expr: str) -> str:
     return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _h60_gram_udf(k: int, distinct: bool = False, winnow: int = 0):
+    """Fused Arrow kernel: text -> array<bigint> of _h60 k-gram hashes —
+    BIT-IDENTICAL to the native chain `transform(shingles(tokens(text),
+    k), _h60)` (tokenize on the Java \\s class, space-join k-token grams,
+    whole-doc fallback below k, first 60 bits of md5), measured ~3x
+    cheaper: the interpreted arrays_zip/concat_ws/conv expression chain
+    allocates per-element JVM garbage that stalls the shared local heap
+    at high thread counts (the same effect the fused MinHash kernel
+    documents, functions/minhash.py), while the worker computes the gram
+    bytes + md5 with no shared GC. ``distinct`` de-dupes gram STRINGS
+    first (simhash's array_distinct semantics); ``winnow`` > 0 applies
+    the sliding-window-of-w minimum + distinct over the positional gram
+    hashes (longrepeat_winnowed's fingerprint selection) — both replayed
+    exactly as the native expressions compute them, so every consumer's
+    oracle stays value-identical."""
+    import hashlib
+    import re
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s class
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def h60_grams(texts):
+        import pandas as pd
+
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [x for x in ws_re.split(t) if x]
+            if len(toks) >= k:
+                grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            else:
+                grams = [" ".join(toks)]
+            if distinct:
+                grams = list(dict.fromkeys(grams))
+            hs = np.fromiter(
+                (
+                    int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            if winnow:
+                if len(hs) >= winnow:
+                    hs = np.lib.stride_tricks.sliding_window_view(hs, winnow).min(axis=1)
+                hs = np.unique(hs)
+            out.append(hs)
+        return pd.Series(out)
+
+    return h60_grams
+
+
 def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): per-doc distinct 5-gram hash set. r10: computed by
+    the fused Arrow kernel (functions/minhash.py::make_gram_hash_text_udf)
+    instead of the interpreted native zip_with rolling fold — every
+    consumer (ngram_jaccard_pairs, unique_documents, boilerplate_shingles)
+    is set-semantic (join equality, intersection/union sizes, counts), so
+    the hash-family change is output-invariant up to the accepted 2^-64
+    collision class; the native shingle_set measured 0.78s of noop wall
+    for the 5k-doc scan alone at sf0.1 (interpreted per-element JVM
+    allocation — the fused-MinHash lesson, functions/minhash.py)."""
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.shingle_set(F.col("text"), CFG.shingle_k).alias("sh"))
+    from neural_locality_sensitive_hashing_spark.functions.minhash import (
+        make_gram_hash_text_udf,
+    )
+
+    return docs.select(
+        "doc_id", make_gram_hash_text_udf(CFG.shingle_k)(F.col("text")).alias("sh")
+    )
 
 
 def _spark_exact_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
@@ -860,6 +933,55 @@ SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 pairs share >=1 of 4 exact chunks
 SIMHASH_HAMMING_MAX = 3
 
 
+def _simhash60_code_udf(k: int = CFG.shingle_k):
+    """Fused Arrow kernel: text -> 60-bit SimHash code under the shared
+    md5/_h60 contract — value-identical to the expression pipeline
+    (distinct k-gram h60s -> per-bit +1/-1 sums -> sign pack with >= 0
+    ties-to-1), because every step is integer-exact: the j-th bit sum is
+    sum over distinct grams of (2*bit_j - 1) and the code sets bit j iff
+    that sum >= 0, exactly as the 60 CASE aggregates did."""
+    import hashlib
+    import re
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s class
+    bit_idx = np.arange(SIMHASH_BITS_SQL, dtype=np.uint64)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def simhash60(texts):
+        import pandas as pd
+
+        md5 = hashlib.md5
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = [x for x in ws_re.split(t) if x]
+            if len(toks) >= k:
+                grams = {
+                    " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+                }
+            else:
+                grams = {" ".join(toks)}
+            hs = np.fromiter(
+                (
+                    int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n, 60)
+            sums = 2 * bits.sum(axis=0).astype(np.int64) - len(hs)
+            code = ((sums >= 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
+            out[i] = np.int64(code)
+        return pd.Series(out)
+
+    return simhash60
+
+
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs, fully native Catalyst AND
     SQL-mirrorable: 60-bit code from md5'd shingles (the shared _h60
@@ -871,25 +993,16 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-checkable hash so the driver can value-verify the whole pipeline.
     """
     docs = load(spark, sf_dir, "documents")
-    gs = F.array_distinct(T.shingles(T.tokens(F.col("text")), CFG.shingle_k))
-    g = docs.select("doc_id", F.explode(gs).alias("g")).select(
-        "doc_id", _h60(F.col("g")).alias("h")
-    )
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS_SQL)
-    ]
-    bits = g.groupBy("doc_id").agg(*sums)
-    code = functools.reduce(
-        _op.add,
-        [
-            F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-            for j in range(SIMHASH_BITS_SQL)
-        ],
-    )
-    codes = bits.select("doc_id", code.alias("code"))
+    # r10: the whole code derivation — distinct k-gram h60 hashes, the
+    # 60 per-bit +1/-1 sums, the sign pack — is a pure per-document
+    # function of text, so it fuses into ONE Arrow kernel
+    # (_simhash60_code_udf: same md5 contract, integer-exact sums and
+    # comparisons — value-identical codes). The expression form paid an
+    # interpreted per-gram md5/concat chain, a 250k-row explode, an
+    # exchange, and a 60-CASE-expression aggregate for what is
+    # per-row-local math; the kernel leaves ZERO exchanges before the
+    # 4-chunk candidate join over the 5k-row code table.
+    codes = docs.select("doc_id", _simhash60_code_udf()(F.col("text")).alias("code"))
     chunk_w = SIMHASH_BITS_SQL // SIMHASH_CHUNKS
     chunks = codes.select(
         "doc_id",
@@ -986,18 +1099,23 @@ def q_long_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every exploded gram row) is hoisted to ONE doc-level size check —
     # equivalent by construction: a doc with >= 12 tokens only emits
     # exact-12-token grams, a shorter doc only its (<12-token) whole-text
-    # gram. The join/count key is xxhash64 of the gram string (8 B)
-    # instead of the ~90 B gram text — the self-join and both
-    # aggregations shuffle ~10x fewer key bytes; candidate/count
-    # semantics unchanged up to the engine-wide accepted xxhash64
+    # gram. The join/count key is an 8 B positional gram hash from the
+    # fused Arrow kernel (functions/minhash.py::make_gram_hash_text_udf,
+    # distinct=False — order and multiplicity preserved, so posexplode
+    # yields the same (i, gram-identity) stream) instead of the ~90 B
+    # gram string built by interpreted expressions — the self-join and
+    # both aggregations shuffle ~10x fewer key bytes; candidate/count
+    # semantics unchanged up to the engine-wide accepted 2^-64 hash
     # collision class (shingle_set, functions/text.py).
-    gp = (
-        docs.where(F.size(toks) >= F.lit(LONG_REPEAT_GRAM))
-        .select(
-            "doc_id",
-            F.posexplode(T.shingles(toks, LONG_REPEAT_GRAM)).alias("i", "g"),
-        )
-        .select("doc_id", "i", F.xxhash64("g").alias("g"))
+    from neural_locality_sensitive_hashing_spark.functions.minhash import (
+        make_gram_hash_text_udf,
+    )
+
+    gp = docs.where(F.size(toks) >= F.lit(LONG_REPEAT_GRAM)).select(
+        "doc_id",
+        F.posexplode(
+            make_gram_hash_text_udf(LONG_REPEAT_GRAM, distinct=False)(F.col("text"))
+        ).alias("i", "g"),
     )
     # persisted: the positional-gram self-join (the heaviest stage) feeds
     # BOTH the diagonal-run aggregation and the n_shared aggregation —
@@ -1078,22 +1196,19 @@ def q_longrepeat_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
-    # materialize the gram-hash array as its own projection FIRST: used
-    # inline, the md5 chain gets re-evaluated per winnow window (no CSE
-    # across lambda scopes — measured 193s vs ~4s at sf0.1)
-    g = docs.where(F.size(toks) >= LONG_REPEAT_GRAM).select(
-        "doc_id", F.transform(T.shingles(toks, LONG_REPEAT_GRAM), _h60).alias("gh")
+    # r10: positional h60 gram hashing + window-min winnowing + distinct
+    # all fused into one Arrow kernel (_h60_gram_udf: same md5 contract,
+    # same sliding-min selection — value-identical fingerprints). The
+    # native form spent its wall in interpreted per-gram md5/conv and
+    # per-window array_min slices; the kernel computes both in numpy.
+    # (Historical note kept: the gram-hash array must not be inlined into
+    # the winnow expression — no CSE across lambda scopes, measured 193s.)
+    fpe = docs.where(F.size(toks) >= LONG_REPEAT_GRAM).select(
+        "doc_id",
+        F.explode(
+            _h60_gram_udf(LONG_REPEAT_GRAM, winnow=WINNOW_WINDOW)(F.col("text"))
+        ).alias("fp"),
     )
-    gh = F.col("gh")
-    m = F.size(gh)
-    w = WINNOW_WINDOW
-    fps = F.when(
-        m >= w,
-        F.transform(
-            F.sequence(F.lit(1), m - w + 1), lambda i: F.array_min(F.slice(gh, i, w))
-        ),
-    ).otherwise(gh)
-    fpe = g.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
     l = fpe.alias("l")
     r = fpe.alias("r")
     return (
@@ -2328,8 +2443,15 @@ def q_benchmark_decontam(
     OOMing the driver, with broadcast=False as the shuffle-gram-join
     fallback for genuinely large contamination sources."""
     docs = load(spark, sf_dir, "documents")
+    from neural_locality_sensitive_hashing_spark.functions.minhash import (
+        make_gram_hash_text_udf,
+    )
+
+    # r10: fused Arrow gram kernel (see _spark_shingled) — the
+    # contamination probe only compares gram equality and distinct
+    # counts, so the hash family is free to change
     sh = docs.select(
-        "doc_id", T.shingle_set(F.col("text"), DECON_K).alias("sh")
+        "doc_id", make_gram_hash_text_udf(DECON_K)(F.col("text")).alias("sh")
     )
     is_bench = (F.col("doc_id") % DECON_MOD == 0) & (
         F.col("doc_id") < DECON_MAX_BENCH_ID
@@ -2587,6 +2709,14 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("customer")
             ),
         )
+        # NOT persisted despite both output slices consuming this
+        # aggregate (Catalyst does not CSE across the final union, so
+        # the star join + agg executes twice): an r10 A/B measured the
+        # persist at 4.0s vs 1.4s duplicated — the cache build forces
+        # the non-adaptive cached-plan path and pays serialization for
+        # a subtree whose broadcast joins re-run in ~0.5s. Documented
+        # trade; at 10^12-row scale the checkpoint stages in
+        # plans/pipeline.py are the materialization vehicle instead.
     )
     cols = ["level", "r_name", "n_name", "c_custkey", "c_name", "revenue", "n_orders"]
     region_rows = agg.where(F.col("level") == "region").select(*cols)
