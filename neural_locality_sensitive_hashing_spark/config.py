@@ -59,6 +59,22 @@ class DedupConfig:
     # O(|A||B|/2^32) ≈ 1e-5 for web pages (cross-doc accidental matches)
     shingle_hash_bytes: int = 8
 
+    # exact-verify physical strategy gate (r10, guide §3.2/§8 "decide with
+    # small rows, broadcast what fits"): corpora at or under this many
+    # docs verify candidate pairs against a BROADCAST (id -> shingle-set)
+    # table inside one mapInArrow — the two per-pair gather joins (which
+    # ship the full sets per candidate through Arrow) disappear. Sized so
+    # the flat set table stays ~100s of MB per Python worker (~700 B/doc
+    # web text); 0 disables. Past the gate the join-based verify shape is
+    # unchanged — the values are identical either way (same kernel math).
+    # The floor is the measured crossover: the broadcast build pays two
+    # fixed driver-side jobs (count + set-table collect, ~0.15 s), which
+    # outweigh the join savings on corpora where the whole verify is
+    # overhead-bound (interleaved A/B at 5k docs: 1.79 vs 1.71 s median
+    # against the join path; at 50k docs: 4.4 vs 6.6 s FOR it).
+    verify_broadcast_min_docs: int = 16_000
+    verify_broadcast_max_docs: int = 300_000
+
     # SimHash secondary verifier
     simhash_bits: int = 64
     simhash_hamming_max: int = 3

@@ -30,6 +30,7 @@ from neural_locality_sensitive_hashing_spark.operators.connected_components impo
 )
 from neural_locality_sensitive_hashing_spark.operators.verify import (
     jaccard_verify,
+    jaccard_verify_bcast,
     jaccard_verify_screened,
     simhash_verify,
 )
@@ -132,6 +133,16 @@ def minhash_dup_pairs(
     cands = candidate_pairs(bands, cfg)
     if cfg.verify_screen:
         return jaccard_verify_screened(cands, sigs.select("doc_id", "sh", "sigp"), cfg)
+    # r10 size-gated verify strategy (guide §3.2/§8): within the gate the
+    # shingle-set table is broadcast once and pairs verify via local
+    # lookup — the gather joins shipped the full sets per candidate pair
+    # through Arrow (~1 KB/pair). The count is a cheap metadata-class job
+    # on the raw docs scan. Identical jaccard values either way; both
+    # bounds are measured crossovers (config.py).
+    if cfg.verify_broadcast_max_docs:
+        n_docs = docs.count()
+        if cfg.verify_broadcast_min_docs < n_docs <= cfg.verify_broadcast_max_docs:
+            return jaccard_verify_bcast(cands, sigs.select("doc_id", "sh"), cfg)
     return jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
 
 

@@ -144,6 +144,93 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_bcast(
+    pairs: DataFrame,
+    shingle_sets: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    set_col: str = "sh",
+) -> DataFrame:
+    """Gated broadcast flavor of ``jaccard_verify`` (guide §3.2/§8): the
+    (doc_id, sh) table is collected once, packed into (sorted ids,
+    element offsets, one flat hash array) and broadcast; candidate pairs
+    stream through ONE mapInArrow that looks both sets up locally — no
+    per-pair set gather joins, candidate rows stay 16 B. The kernel's
+    per-pair math is byte-identical to ``make_jaccard_udf`` (same sorted
+    unsigned views, same searchsorted probe, same inter/union division),
+    so jaccard values and the `>= tau` cut are unchanged. Caller gates on
+    corpus size (``cfg.verify_broadcast_max_docs``)."""
+    dt = "<u8" if cfg.shingle_hash_bytes == 8 else "<u4"
+    item = cfg.shingle_hash_bytes
+    spark = shingle_sets.sparkSession
+    pdf = shingle_sets.select(
+        F.col(id_col).alias("doc_id"), F.col(set_col).alias("sh")
+    ).toPandas()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    byte_rows = pdf["sh"].to_numpy()[order]
+    lens = np.fromiter(
+        ((len(b) if b is not None else 0) // item for b in byte_rows),
+        dtype=np.int64,
+        count=len(byte_rows),
+    )
+    offs = np.zeros(len(byte_rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.frombuffer(
+        b"".join(b for b in byte_rows if b is not None), dtype=dt
+    )
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_offs = spark.sparkContext.broadcast(offs)
+    b_flat = spark.sparkContext.broadcast(flat)
+    tau = cfg.jaccard_threshold
+
+    def gen(it):
+        import pyarrow as pa  # local import: executors only
+
+        ids_ = b_ids.value
+        offs_ = b_offs.value
+        flat_ = b_flat.value
+        for batch in it:
+            a_ids = batch.column("a").to_numpy(zero_copy_only=False)
+            b_ids_ = batch.column("b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_, a_ids)
+            ib = np.searchsorted(ids_, b_ids_)
+            out = np.zeros(len(a_ids), dtype=np.float64)
+            for i in range(len(a_ids)):
+                a = flat_[offs_[ia[i]] : offs_[ia[i] + 1]]
+                b = flat_[offs_[ib[i]] : offs_[ib[i] + 1]]
+                if a.size > b.size:
+                    a, b = b, a
+                idx = np.searchsorted(b, a)
+                valid = idx < b.size
+                inter = int(np.count_nonzero(b[idx[valid]] == a[valid]))
+                union = a.size + b.size - inter
+                out[i] = inter / union if union else 0.0
+            keep = out >= tau
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a_ids[keep], type=pa.int64()),
+                    pa.array(b_ids_[keep], type=pa.int64()),
+                    pa.array(out[keep], type=pa.float64()),
+                ],
+                names=["a", "b", "jaccard"],
+            )
+
+    # explicit repartition: the candidate stream is ~16 B/row, so AQE
+    # coalesces the upstream exchange to 1-2 partitions and the Python
+    # kernel would run serially; pinning the partition count to the
+    # session's shuffle parallelism keeps the per-pair loop fanned out
+    # (hash keys, deterministic under retry — guide §2.5). The extra
+    # exchange moves only the narrow pair ids.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        pairs.select("a", "b")
+        .repartition(nparts, "a", "b")
+        .mapInArrow(gen, "a long, b long, jaccard double")
+    )
+
+
 def jaccard_verify_screened(
     pairs: DataFrame,
     sigs: DataFrame,

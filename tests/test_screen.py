@@ -70,3 +70,36 @@ def test_screened_deterministic(spark, pages):
     b = _pair_set(minhash_dup_pairs(pages, cfg))
     spark.catalog.clearCache()
     assert a == b
+
+
+def test_bcast_verify_equals_join_verify(spark, pages):
+    """The r10 size-gated broadcast verify must emit the exact same
+    (a, b, jaccard) rows as the join-based verify — same kernel math over
+    the same sets, different physical data movement."""
+    from neural_locality_sensitive_hashing_spark.operators.candidates import (
+        candidate_pairs,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.dedup import (
+        banded_signatures_fused,
+        explode_fused_bands,
+    )
+    from neural_locality_sensitive_hashing_spark.operators.verify import (
+        jaccard_verify,
+        jaccard_verify_bcast,
+    )
+
+    cfg = DedupConfig(shingle_hash_bytes=4)
+    sigs = banded_signatures_fused(pages, cfg).persist()
+    cands = candidate_pairs(explode_fused_bands(sigs), cfg).persist()
+    sets_df = sigs.select("doc_id", "sh")
+    join_rows = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in jaccard_verify(cands, sets_df, cfg).collect()
+    }
+    bcast_rows = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in jaccard_verify_bcast(cands, sets_df, cfg).collect()
+    }
+    spark.catalog.clearCache()
+    assert join_rows, "fixture must contain planted duplicates"
+    assert bcast_rows == join_rows
