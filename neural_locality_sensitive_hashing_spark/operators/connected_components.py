@@ -55,19 +55,31 @@ def connected_components(
             F.col("src").alias("doc_id"),
             F.least(F.col("src"), F.col("mn")).alias("cluster_id"),
         )
-        .localCheckpoint()
     )
 
     # min-propagation labels are monotone non-increasing, so the label sum
     # strictly decreases until the fixpoint: convergence = unchanged sum.
-    # One cheap agg job per round over checkpointed blocks — no join, no
-    # second shuffle (the fixpoint loop's serial barriers are the scaling
-    # floor of the whole pipeline, so every per-round job counts). The sum
-    # runs in decimal(38,0): exact and overflow-free even at 10^12 docs
-    # with 10^12-scale ids (int64 would overflow ~10^5 such labels and
-    # throw under ANSI mode).
-    label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).first()[0]
+    # r10: the sum rides the checkpoint materialization itself as an
+    # OBSERVED metric (df.observe) — the separate per-round agg job is
+    # gone, halving the fixpoint loop's serial job count (the loop's
+    # barriers are the scaling floor of the whole pipeline). The sum runs
+    # in decimal(38,0): exact and overflow-free even at 10^12 docs with
+    # 10^12-scale ids (int64 would overflow ~10^5 such labels and throw
+    # under ANSI mode).
+    from pyspark.sql import Observation
+
+    def _sum_of(lbl: DataFrame) -> tuple[DataFrame, Observation]:
+        obs = Observation()
+        return (
+            lbl.observe(
+                obs, F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+            ),
+            obs,
+        )
+
+    labels, obs0 = _sum_of(labels)
+    labels = labels.localCheckpoint()
+    prev_sum = obs0.get["s"]
     converged = False
 
     def _propagate(lbl: DataFrame) -> DataFrame:
@@ -81,8 +93,9 @@ def connected_components(
         )
 
     for _ in range(max_iterations):
-        labels = _propagate(labels).localCheckpoint()
-        cur_sum = labels.agg(label_sum).first()[0]
+        nxt, obs = _sum_of(_propagate(labels))
+        labels = nxt.localCheckpoint()
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break
