@@ -34,6 +34,7 @@ from neural_locality_sensitive_hashing_spark.operators.verify import (
     jaccard_verify_screened,
     simhash_verify,
 )
+from neural_locality_sensitive_hashing_spark.partitioning import fan_out
 
 
 def shingle_documents(
@@ -70,6 +71,7 @@ def signatures_fused(
     interpreted higher-order functions). Preferred by the pipeline; the
     native shingle_set/minhash pair remains for composability and the
     string-shingle driver queries."""
+    docs = fan_out(docs)
     udf = make_shingle_sig_udf(
         cfg.shingle_k, cfg.num_perm, cfg.minhash_seed,
         shingle_hash_bytes=cfg.shingle_hash_bytes,
@@ -92,6 +94,7 @@ def banded_signatures_fused(
     Candidate semantics are unchanged (identical docs collide per band);
     only the band hash family differs from explode_bands, which remains
     the sig-level API."""
+    docs = fan_out(docs)
     udf = make_shingle_sig_udf(
         cfg.shingle_k, cfg.num_perm, cfg.minhash_seed,
         num_bands=cfg.num_bands, rows_per_band=cfg.rows_per_band,
@@ -202,7 +205,7 @@ def simhash_dup_pairs(
     (any pair within Hamming distance <= 3 shares at least one exact chunk
     — pigeonhole), bucket self-join per chunk, verify with bit_count.
     -> (a, b, hamming)."""
-    codes = docs.select(
+    codes = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         simhash_udf(T.shingle_set(F.col(text_col), cfg.shingle_k)).alias("simhash"),
     ).persist()

@@ -215,8 +215,11 @@ def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_locality_sensitive_hashing_spark.functions.minhash import (
         make_gram_hash_text_udf,
     )
+    from neural_locality_sensitive_hashing_spark.partitioning import fan_out
 
-    return docs.select(
+    # r10: the sf documents table reads as ONE scan partition, which ran
+    # this kernel single-threaded (partitioning.py); no-op at real scale
+    return fan_out(docs).select(
         "doc_id", make_gram_hash_text_udf(CFG.shingle_k)(F.col("text")).alias("sh")
     )
 
@@ -1002,7 +1005,11 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange, and a 60-CASE-expression aggregate for what is
     # per-row-local math; the kernel leaves ZERO exchanges before the
     # 4-chunk candidate join over the 5k-row code table.
-    codes = docs.select("doc_id", _simhash60_code_udf()(F.col("text")).alias("code"))
+    from neural_locality_sensitive_hashing_spark.partitioning import fan_out
+
+    codes = fan_out(docs).select(
+        "doc_id", _simhash60_code_udf()(F.col("text")).alias("code")
+    )
     chunk_w = SIMHASH_BITS_SQL // SIMHASH_CHUNKS
     chunks = codes.select(
         "doc_id",
@@ -1111,7 +1118,9 @@ def q_long_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_gram_hash_text_udf,
     )
 
-    gp = docs.where(F.size(toks) >= F.lit(LONG_REPEAT_GRAM)).select(
+    from neural_locality_sensitive_hashing_spark.partitioning import fan_out
+
+    gp = fan_out(docs.where(F.size(toks) >= F.lit(LONG_REPEAT_GRAM))).select(
         "doc_id",
         F.posexplode(
             make_gram_hash_text_udf(LONG_REPEAT_GRAM, distinct=False)(F.col("text"))
@@ -1203,7 +1212,9 @@ def q_longrepeat_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-window array_min slices; the kernel computes both in numpy.
     # (Historical note kept: the gram-hash array must not be inlined into
     # the winnow expression — no CSE across lambda scopes, measured 193s.)
-    fpe = docs.where(F.size(toks) >= LONG_REPEAT_GRAM).select(
+    from neural_locality_sensitive_hashing_spark.partitioning import fan_out
+
+    fpe = fan_out(docs.where(F.size(toks) >= LONG_REPEAT_GRAM)).select(
         "doc_id",
         F.explode(
             _h60_gram_udf(LONG_REPEAT_GRAM, winnow=WINNOW_WINDOW)(F.col("text"))
@@ -2447,10 +2458,13 @@ def q_benchmark_decontam(
         make_gram_hash_text_udf,
     )
 
+    from neural_locality_sensitive_hashing_spark.partitioning import fan_out
+
     # r10: fused Arrow gram kernel (see _spark_shingled) — the
     # contamination probe only compares gram equality and distinct
-    # counts, so the hash family is free to change
-    sh = docs.select(
+    # counts, so the hash family is free to change; fan_out parallelizes
+    # the kernel over the single-file sf scan (no-op at real scale)
+    sh = fan_out(docs).select(
         "doc_id", make_gram_hash_text_udf(DECON_K)(F.col("text")).alias("sh")
     )
     is_bench = (F.col("doc_id") % DECON_MOD == 0) & (

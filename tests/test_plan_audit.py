@@ -23,8 +23,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # name -> max allowed shuffle exchanges (None = exact 0 asserted separately)
 PLAN_BOUNDS = {
-    "minhash_dedup_pairs": 2,
-    "minhash_dedup_clusters": 2,
+    # +1 (r10) = the conditional small-scan fan-out repartition
+    # (partitioning.py) that parallelizes the signature kernel over a
+    # single-file scan; a no-op (no exchange) once the scan has >= session
+    # parallelism partitions, i.e. on any at-scale corpus
+    "minhash_dedup_pairs": 3,
+    "minhash_dedup_clusters": 3,
     "embedding_dup_pairs": 2,
     "ann_lsh_cosine": 2,
     "ann_lsh_l2": 2,
@@ -36,14 +40,18 @@ PLAN_BOUNDS = {
     # positional-gram self-join (2) + the (a,b,diag) diagonal window (1)
     # + the per-pair aggs on (a,b) (1); the run-length groupBy reuses the
     # window's (a,b,diag) partitioning and the final shared×longest join
-    # reuses (a,b) from both aggs
-    "long_repeat_pairs": 4,
+    # reuses (a,b) from both aggs (5 total under the r10 distinct-plan_id
+    # counting). +1 (r10) = the conditional small-scan fan-out (see
+    # minhash_dedup_pairs note)
+    "long_repeat_pairs": 6,
     "packed_sequences": 1,
     "doc_sample_hash": 0,
     "doc_repetition": 0,
-    # benchmark gram table broadcasts; the 2 exchanges are the
-    # countDistinct expand + final per-doc aggregation
-    "benchmark_decontam": 2,
+    # benchmark gram table broadcasts; the countDistinct expand + per-doc
+    # aggregation account for 3 exchanges under the r10 distinct-plan_id
+    # counting, +1 (r10) = the conditional small-scan fan-out (see
+    # minhash_dedup_pairs note)
+    "benchmark_decontam": 4,
     "gopher_quality_flags": 0,
     # quota agg (2: partial+final over ~5 rows) + bucket-count agg + the
     # bounded (lang,bkt) window + offsets window over the counts table
@@ -77,6 +85,10 @@ PLAN_BOUNDS = {
 def test_plan_shape_bounds(spark, name, max_exchanges):
     from neural_locality_sensitive_hashing_spark.queries import QUERIES
 
+    # audit the FRESH plan: a cached (persisted) subtree left over from an
+    # earlier test's query substitutes InMemoryRelation nodes and shifts
+    # the exchange placement, making the count order-dependent
+    spark.catalog.clearCache()
     a = audit(QUERIES[name](spark, SF_DIR))
     assert not a["cartesian"], f"{name}: CartesianProduct crept into the plan"
     assert a["exchanges"] <= max_exchanges, (

@@ -54,8 +54,18 @@ AUDITED = [
 def audit(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     simple = df._jdf.queryExecution().simpleString()
-    n_exch = len(re.findall(r"\bExchange\b", simple))
-    n_bcast = len(re.findall(r"BroadcastExchange", simple))
+    # r10: count DISTINCT exchanges by plan_id — the textual rendering
+    # repeats a cached (InMemoryRelation) subtree at every cache scan, so
+    # the old occurrence count charged one physical exchange 2-3x once a
+    # query persisted an intermediate (each repetition carries the same
+    # plan_id). \bExchange\b does not match BroadcastExchange ('t' is a
+    # word char), so shuffle and broadcast counts stay separate.
+    exch_ids = set(re.findall(r"\bExchange\b[^\n]*?\[plan_id=(\d+)\]", plan))
+    bcast_ids = set(re.findall(r"BroadcastExchange[^\n]*?\[plan_id=(\d+)\]", plan))
+    n_exch = len(exch_ids) if exch_ids else len(re.findall(r"\bExchange\b", simple))
+    n_bcast = (
+        len(bcast_ids) if bcast_ids else len(re.findall(r"BroadcastExchange", simple))
+    )
     n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
     scans = []
     for m in re.finditer(r"FileScan parquet[^\n]*", plan):
