@@ -329,6 +329,10 @@ def ann_lsh_candidates(
     query_udf = make_hyperplane_udf(planes, num_bands, bits_per_band, n_probes=n_probes)
 
     qc = _explode_codes(queries, "query_id", query_udf, id_col, vec_col)
+    # NOT fanned out (r10 A/B): the hyperplane code kernel is one cheap
+    # matmul, and the repartition cost beat the parallelism gain
+    # (interleaved medians 1.20 vs 0.99 s) — unlike the md5-family text
+    # kernels where fan_out wins (partitioning.py)
     cc = _explode_codes(corpus, "neighbor_id", corpus_udf, id_col, vec_col)
     return (
         qc.join(cc, "bucket")
