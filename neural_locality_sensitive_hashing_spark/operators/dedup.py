@@ -139,11 +139,13 @@ def minhash_dup_pairs(
     # r10 size-gated verify strategy (guide §3.2/§8): within the gate the
     # shingle-set table is broadcast once and pairs verify via local
     # lookup — the gather joins shipped the full sets per candidate pair
-    # through Arrow (~1 KB/pair). The count is a cheap metadata-class job
-    # on the raw docs scan. Identical jaccard values either way; both
-    # bounds are measured crossovers (config.py).
+    # through Arrow (~1 KB/pair). The gate count runs on the persisted
+    # sigs table (one row per doc), so the same job PREPAYS the cache
+    # materialization every downstream consumer needs — no separate scan
+    # of the raw docs. Identical jaccard values either way; both bounds
+    # are measured crossovers (config.py).
     if cfg.verify_broadcast_max_docs:
-        n_docs = docs.count()
+        n_docs = sigs.count()
         if cfg.verify_broadcast_min_docs < n_docs <= cfg.verify_broadcast_max_docs:
             return jaccard_verify_bcast(cands, sigs.select("doc_id", "sh"), cfg)
     return jaccard_verify(cands, sigs.select("doc_id", "sh"), cfg)
