@@ -51,8 +51,35 @@ AUDITED = [
 ]
 
 
+def _strip_initial_plans(plan: str) -> str:
+    """Drop '== Initial Plan ==' sections. A cached relation that was
+    already materialized (e.g. by a build-time size-gate count) renders
+    its AdaptiveSparkPlan with BOTH the final and the initial plan — the
+    same physical exchange then appears under two different plan_ids and
+    would be double-counted. The initial-plan block runs from the marker
+    until the first line whose content indentation returns above the
+    marker's."""
+    out = []
+    skip_indent = None
+    for line in plan.splitlines():
+        content = line.lstrip(" :+|-")
+        indent = len(line) - len(content)
+        if skip_indent is not None:
+            if content and indent < skip_indent:
+                skip_indent = None
+            else:
+                continue
+        if content.startswith("== Initial Plan =="):
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def audit(df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _strip_initial_plans(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
     simple = df._jdf.queryExecution().simpleString()
     # r10: count DISTINCT exchanges by plan_id — the textual rendering
     # repeats a cached (InMemoryRelation) subtree at every cache scan, so
